@@ -1,0 +1,133 @@
+"""Device-side QMC sample tables and lookup.
+
+The reference uploads its random sequences as uniform blocks once per render
+configuration (``Source/HeatrayRenderer/PassGenerator.cpp:603-684``) and every
+shader indexes them with wraparound (``Resources/shaders/sequence.rlsl``).
+We mirror that: a ``(num_sequences, length, 2)`` main table, an identical
+aperture table, plus per-pixel sequence ids and index offsets
+(``PassGenerator.cpp:150-159``, ``perspective.rlsl:62-67``).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+from . import bokeh as bokeh_mod
+from . import qmc
+
+# ``PassGenerator.h:193``
+NUM_RANDOM_SEQUENCES = 16
+
+
+@struct.dataclass
+class SampleTables:
+    """All sampling data needed by one render configuration (a pytree)."""
+
+    sequences: jnp.ndarray  # (S, L, 2) f32 — main QMC table
+    aperture: jnp.ndarray  # (S, L, 2) f32 — bokeh samples in [0,1]
+    pixel_sequence_id: jnp.ndarray  # (H, W) i32 — per-pixel sequence select
+    pixel_sequence_offset: jnp.ndarray  # (H, W) i32 — per-pixel index offset
+
+    @property
+    def num_sequences(self) -> int:
+        return self.sequences.shape[0]
+
+    @property
+    def sequence_length(self) -> int:
+        return self.sequences.shape[1]
+
+
+def glsl_random(st: np.ndarray) -> np.ndarray:
+    """The classic GLSL one-liner hash used by ``utility.rlsl:15-18``.
+
+    ``fract(sin(dot(st, (12.9898, 78.233))) * 43758.5453123)`` in float32.
+    """
+    st = np.asarray(st, dtype=np.float32)
+    d = (st[..., 0] * np.float32(12.9898) + st[..., 1] * np.float32(78.233)).astype(
+        np.float32
+    )
+    v = (np.sin(d, dtype=np.float32) * np.float32(43758.5453123)).astype(np.float32)
+    return (v - np.floor(v)).astype(np.float32)
+
+
+def build_tables(
+    width: int,
+    height: int,
+    max_passes: int,
+    sample_mode: str = "sobol",
+    bokeh_shape: str = "circular",
+) -> SampleTables:
+    """Generate all host-side tables for a render configuration.
+
+    Mirrors ``PassGenerator::generateRandomSequences`` (main + aperture
+    tables) and ``PassGenerator::generateSequenceOffsets`` +
+    ``perspective.rlsl:62-65`` (per-pixel sequence id / offset).
+    """
+    gen = qmc.GENERATORS[sample_mode]
+    seqs = np.stack(
+        [gen(max_passes, i) for i in range(NUM_RANDOM_SEQUENCES)], axis=0
+    )
+    bok = bokeh_mod.BOKEH_SHAPES[bokeh_shape]
+    aperture = np.stack(
+        [bok(max_passes, i) for i in range(NUM_RANDOM_SEQUENCES)], axis=0
+    )
+
+    # Per-pixel sequence id: floor(glsl_random(frameCoord / frameSize) * S)
+    # with frameCoord the pixel center (``perspective.rlsl:62``).  Row 0 is the
+    # bottom of the image (OpenRL convention).
+    ys, xs = np.meshgrid(
+        np.arange(height, dtype=np.float32), np.arange(width, dtype=np.float32),
+        indexing="ij",
+    )
+    st = np.stack(
+        [(xs + 0.5) / np.float32(width), (ys + 0.5) / np.float32(height)], axis=-1
+    )
+    seq_id = np.floor(glsl_random(st) * np.float32(NUM_RANDOM_SEQUENCES)).astype(
+        np.int32
+    )
+    seq_id = np.minimum(seq_id, NUM_RANDOM_SEQUENCES - 1)
+
+    # Per-pixel sequence index offset: Sobol sequence 0 over all pixels, then
+    # floor(x * maxSampleIndex) (``PassGenerator.cpp:150-159``,
+    # ``perspective.rlsl:64-65``).  The reference indexes this buffer with
+    # ``y * frameHeight + x`` (a quirk — height, not width); we use the
+    # standard row-major y * width + x layout.
+    offsets = qmc.sobol(width * height, 0)[:, 0].reshape(height, width)
+    seq_offset = np.floor(offsets * np.float32(max_passes)).astype(np.int32)
+    seq_offset = np.minimum(seq_offset, max_passes - 1)
+
+    return SampleTables(
+        sequences=jnp.asarray(seqs),
+        aperture=jnp.asarray(aperture),
+        pixel_sequence_id=jnp.asarray(seq_id),
+        pixel_sequence_offset=jnp.asarray(seq_offset),
+    )
+
+
+def get_sequence_value(tables: SampleTables, sequence_index, sample_index):
+    """Wrapped 2D sample lookup, ``Resources/shaders/sequence.rlsl:18-28``.
+
+    ``sequence_index`` and ``sample_index`` are int32 arrays of any (matching)
+    shape; returns a float32 array of shape ``(*shape, 2)``.
+    """
+    s = tables.num_sequences
+    length = tables.sequence_length
+    seq = jnp.remainder(sequence_index, s)
+    idx = jnp.remainder(sample_index, length)
+    flat = tables.sequences.reshape(s * length, 2)
+    return jnp.take(flat, seq * length + idx, axis=0)
+
+
+def get_aperture_sample(tables: SampleTables, sequence_id, sample_index):
+    """Aperture table lookup, ``perspective.rlsl:78``.
+
+    The reference indexes ``samples[sequenceID * sequenceLength + sampleIndex]``
+    without wrapping; we wrap the sample index defensively (identical for
+    sample_index < length).
+    """
+    length = tables.sequence_length
+    idx = jnp.remainder(sample_index, length)
+    flat = tables.aperture.reshape(tables.num_sequences * length, 2)
+    return jnp.take(flat, sequence_id * length + idx, axis=0)

@@ -1,0 +1,192 @@
+"""SoA triangle geometry — the TPU-native replacement for the reference's
+retained-mode meshes (``Source/HeatrayRenderer/Scene/Mesh.{h,cpp}``,
+``MeshProvider.h``).
+
+All geometry in a scene is merged into flat structure-of-arrays so the
+intersector sees one dense triangle soup (plus per-triangle material ids).
+Host-side assembly is numpy; the frozen pytree holds jnp arrays.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+
+
+@struct.dataclass
+class Geometry:
+    """Flattened scene geometry (a pytree of device arrays).
+
+    Vertex attributes mirror the reference's semantic set
+    (``Scene/MeshProvider.h:30-48``): position, normal, uv, tangent,
+    bitangent, color.
+    """
+
+    positions: jnp.ndarray  # (V, 3) f32
+    normals: jnp.ndarray  # (V, 3) f32
+    uvs: jnp.ndarray  # (V, 2) f32
+    tangents: jnp.ndarray  # (V, 3) f32
+    bitangents: jnp.ndarray  # (V, 3) f32
+    colors: jnp.ndarray  # (V, 3) f32 vertex colors
+    indices: jnp.ndarray  # (T, 3) i32
+    material_ids: jnp.ndarray  # (T,) i32 per-triangle material index
+
+    @property
+    def num_triangles(self) -> int:
+        return self.indices.shape[0]
+
+    @property
+    def num_vertices(self) -> int:
+        return self.positions.shape[0]
+
+
+@dataclasses.dataclass
+class MeshData:
+    """Host-side mesh buffers (numpy), the analog of ``MeshProvider``."""
+
+    positions: np.ndarray  # (V, 3)
+    indices: np.ndarray  # (T, 3)
+    normals: Optional[np.ndarray] = None
+    uvs: Optional[np.ndarray] = None
+    tangents: Optional[np.ndarray] = None
+    bitangents: Optional[np.ndarray] = None
+    colors: Optional[np.ndarray] = None
+    name: str = "mesh"
+
+    def __post_init__(self):
+        self.positions = np.asarray(self.positions, dtype=np.float32).reshape(-1, 3)
+        self.indices = np.asarray(self.indices, dtype=np.int32).reshape(-1, 3)
+        if self.normals is None:
+            self.normals = compute_vertex_normals(self.positions, self.indices)
+
+    def transformed(self, matrix: np.ndarray) -> "MeshData":
+        """Apply a 4x4 transform (the analog of per-submesh
+        ``worldFromEntity``, ``Scene/Mesh.cpp:104-132``).
+
+        A negative-determinant transform flips triangle winding so geometric
+        normals stay outward (the reference instead flips the front-face
+        winding mode, ``Mesh.cpp:86-91``).
+        """
+        m = np.asarray(matrix, dtype=np.float32)
+        rot = m[:3, :3]
+        pos = self.positions @ rot.T + m[:3, 3]
+        nrm_mat = np.linalg.inv(rot).T
+        normals = self.normals @ nrm_mat.T
+        norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+        normals = normals / np.maximum(norm, 1e-20)
+        indices = self.indices
+        if np.linalg.det(rot) < 0.0:
+            indices = indices[:, ::-1]
+        tangents = self.tangents @ rot.T if self.tangents is not None else None
+        bitangents = (
+            self.bitangents @ rot.T if self.bitangents is not None else None
+        )
+        return MeshData(
+            positions=pos.astype(np.float32),
+            indices=indices,
+            normals=normals.astype(np.float32),
+            uvs=self.uvs,
+            tangents=tangents,
+            bitangents=bitangents,
+            colors=self.colors,
+            name=self.name,
+        )
+
+
+def compute_vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Area-weighted smooth vertex normals."""
+    v0 = positions[indices[:, 0]]
+    v1 = positions[indices[:, 1]]
+    v2 = positions[indices[:, 2]]
+    fn = np.cross(v1 - v0, v2 - v0)
+    normals = np.zeros_like(positions)
+    for k in range(3):
+        np.add.at(normals, indices[:, k], fn)
+    norm = np.linalg.norm(normals, axis=-1, keepdims=True)
+    return (normals / np.maximum(norm, 1e-20)).astype(np.float32)
+
+
+def merge_meshes(meshes: List[MeshData], material_ids: List[int]) -> Geometry:
+    """Concatenate per-mesh buffers into one flat ``Geometry``."""
+    assert len(meshes) == len(material_ids)
+    pos, nrm, uv, tan, bit, col, idx, mat = [], [], [], [], [], [], [], []
+    offset = 0
+    for mesh, mid in zip(meshes, material_ids):
+        v = mesh.positions.shape[0]
+        t = mesh.indices.shape[0]
+        pos.append(mesh.positions)
+        nrm.append(mesh.normals)
+        uv.append(
+            mesh.uvs.astype(np.float32)
+            if mesh.uvs is not None
+            else np.zeros((v, 2), np.float32)
+        )
+        tan.append(
+            mesh.tangents.astype(np.float32)
+            if mesh.tangents is not None
+            else np.zeros((v, 3), np.float32)
+        )
+        bit.append(
+            mesh.bitangents.astype(np.float32)
+            if mesh.bitangents is not None
+            else np.zeros((v, 3), np.float32)
+        )
+        col.append(
+            mesh.colors.astype(np.float32)
+            if mesh.colors is not None
+            else np.ones((v, 3), np.float32)
+        )
+        idx.append(mesh.indices + offset)
+        mat.append(np.full((t,), mid, dtype=np.int32))
+        offset += v
+    return Geometry(
+        positions=jnp.asarray(np.concatenate(pos)),
+        normals=jnp.asarray(np.concatenate(nrm)),
+        uvs=jnp.asarray(np.concatenate(uv)),
+        tangents=jnp.asarray(np.concatenate(tan)),
+        bitangents=jnp.asarray(np.concatenate(bit)),
+        colors=jnp.asarray(np.concatenate(col)),
+        indices=jnp.asarray(np.concatenate(idx)),
+        material_ids=jnp.asarray(np.concatenate(mat)),
+    )
+
+
+def scene_aabb(geometry: Geometry) -> np.ndarray:
+    """(2, 3) min/max corners (the analog of ``Utility/AABB.h``)."""
+    p = np.asarray(geometry.positions)
+    return np.stack([p.min(axis=0), p.max(axis=0)])
+
+
+def translate(v) -> np.ndarray:
+    m = np.eye(4, dtype=np.float32)
+    m[:3, 3] = v
+    return m
+
+
+def rotate(angle: float, axis) -> np.ndarray:
+    """Rotation about an axis (radians), as a 4x4 matrix."""
+    axis = np.asarray(axis, dtype=np.float64)
+    axis = axis / np.linalg.norm(axis)
+    x, y, z = axis
+    c, s = np.cos(angle), np.sin(angle)
+    C = 1 - c
+    m = np.eye(4, dtype=np.float32)
+    m[:3, :3] = np.array(
+        [
+            [x * x * C + c, x * y * C - z * s, x * z * C + y * s],
+            [y * x * C + z * s, y * y * C + c, y * z * C - x * s],
+            [z * x * C - y * s, z * y * C + x * s, z * z * C + c],
+        ]
+    )
+    return m
+
+
+def scale(v) -> np.ndarray:
+    m = np.eye(4, dtype=np.float32)
+    v = np.broadcast_to(np.asarray(v, dtype=np.float32), (3,))
+    m[0, 0], m[1, 1], m[2, 2] = v
+    return m
