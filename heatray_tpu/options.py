@@ -1,0 +1,78 @@
+"""Render configuration.
+
+Two tiers, mirroring the reference's split between compile-time shader
+variants and per-frame uniforms (``PassGenerator.h:49-150``,
+``globalData.rlsl``):
+
+- ``RenderOptions``: static, hashable config — participates in jit
+  specialization (the moral equivalent of the reference's ``#define``
+  shader-variant system).
+- ``FrameGlobals``: traced per-pass values (sample index, firefly clamp).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import enum
+
+import jax.numpy as jnp
+from flax import struct
+
+
+class AOV(enum.Enum):
+    """Debug visualization modes (``PassGenerator.h:123-141``)."""
+
+    NONE = "none"
+    GEOMETRIC_NORMALS = "geometric_normals"
+    UVS = "uvs"
+    TANGENTS = "tangents"
+    BITANGENTS = "bitangents"
+    FINAL_NORMALS = "final_normals"
+    BASE_COLOR = "base_color"
+    EMISSIVE = "emissive"
+    ROUGHNESS = "roughness"
+    METALLIC = "metallic"
+    CLEARCOAT = "clearcoat"
+    CLEARCOAT_ROUGHNESS = "clearcoat_roughness"
+    SHADER = "shader"
+    NANS = "nans"
+    INFS = "infs"
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderOptions:
+    """Static render configuration (hashable; jit recompiles on change,
+    replacing the reference's resetRenderingState + shader rebuild)."""
+
+    width: int = 512
+    height: int = 512
+    max_render_passes: int = 32  # ``PassGenerator.h:62``
+    max_ray_depth: int = 10  # ``PassGenerator.h:63``
+    sample_mode: str = "sobol"  # ``RenderOptions::SampleMode``
+    bokeh_shape: str = "circular"  # ``RenderOptions::BokehShape``
+    aov: AOV = AOV.NONE
+    # Russian roulette activates above this ray depth
+    # (``physicallyBased.rlsl:279``).
+    rr_start_depth: int = 3
+    # Ray-march epsilon for spawning secondary rays off surfaces.
+    ray_epsilon: float = 1e-4
+
+    def __post_init__(self):
+        assert self.max_ray_depth >= 1
+        assert self.max_render_passes >= 1
+
+
+@struct.dataclass
+class FrameGlobals:
+    """Traced per-pass state (the analog of the ``Globals`` uniform block)."""
+
+    sample_index: jnp.ndarray  # () i32, 0 .. max_render_passes-1
+    max_channel_value: jnp.ndarray  # () f32 firefly clamp (``accumulator.rlsl:24``)
+
+    @classmethod
+    def create(cls, sample_index: int = 0, max_channel_value: float = 3.14159265):
+        # Default clamp is pi (``PassGenerator.h:64``).
+        return cls(
+            sample_index=jnp.int32(sample_index),
+            max_channel_value=jnp.float32(max_channel_value),
+        )

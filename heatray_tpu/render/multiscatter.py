@@ -1,0 +1,89 @@
+"""GGX multiscattering energy-compensation LUT.
+
+Port of the reference's offline Monte Carlo tool
+(``Source/HeatrayRenderer/Materials/MultiScatterUtil.cpp:91-139``): a 128x128
+table over (NdotV, roughness) of GGX directional albedo sampled with 4096
+Owen-scrambled Sobol points, stored as (1 - E) / E so the shader computes
+``f_ms = 1 + Cspec * LUT`` (``microfacet.rlsl:17-23``).
+
+Generated vectorized in numpy at import-cost time (no FreeImage TIFF cache;
+regeneration takes well under a second) and cached in-process.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..sampling import qmc
+from .texture import sample_bilinear
+
+LUT_SIZE = 128
+SAMPLE_COUNT = 4096
+
+
+def _g1_smith_ggx(n_dot_i, alpha):
+    a2 = alpha * alpha
+    denom = np.sqrt(a2 + (1.0 - a2) * n_dot_i * n_dot_i) + n_dot_i
+    return (2.0 * n_dot_i) / np.maximum(denom, 1e-5)
+
+
+def _importance_sample_ggx(rand, alpha):
+    """NDF-proportional half vectors (Z-up), ``MultiScatterUtil.cpp:34-47``."""
+    a2 = alpha * alpha
+    cos_theta = np.sqrt(
+        np.maximum(0.0, (1.0 - rand[:, 0]) / ((a2 - 1.0) * rand[:, 0] + 1.0))
+    )
+    sin_theta = np.sqrt(np.maximum(0.0, 1.0 - cos_theta * cos_theta))
+    phi = 2.0 * np.pi * rand[:, 1]
+    h = np.stack(
+        [sin_theta * np.cos(phi), sin_theta * np.sin(phi), cos_theta], axis=-1
+    )
+    return h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-20)
+
+
+@functools.lru_cache(maxsize=1)
+def generate_multiscatter_lut() -> np.ndarray:
+    """(LUT_SIZE, LUT_SIZE) float32: rows = roughness, cols = NdotV, value =
+    (1 - E) / E (``MultiScatterUtil.cpp:91-139``)."""
+    rand = qmc.sobol(SAMPLE_COUNT, 0).astype(np.float64)
+
+    grid = (np.arange(LUT_SIZE, dtype=np.float64) + 0.5) / LUT_SIZE
+    n_dot_v = grid  # (C,)
+    v = np.stack(
+        [np.sqrt(np.maximum(0.0, 1.0 - n_dot_v**2)), np.zeros_like(n_dot_v), n_dot_v],
+        axis=-1,
+    )  # (C, 3)
+    lut = np.empty((LUT_SIZE, LUT_SIZE), np.float64)
+    for row, roughness in enumerate(grid):
+        alpha = roughness * roughness
+        h = _importance_sample_ggx(rand, alpha)  # (S, 3)
+        v_dot_h = h @ v.T  # (S, C)
+        # Reflect V about H: L = 2 (V.H) H - V, per column.
+        l_z = 2.0 * v_dot_h * h[:, 2:3] - v[:, 2][None, :]
+        n_dot_l = np.clip(l_z, 0.0, 1.0)
+        vdh = np.clip(v_dot_h, 0.0, 1.0)
+        ndh = np.clip(h[:, 2], 0.0, 1.0)[:, None]
+        g2 = _g1_smith_ggx(n_dot_l, alpha) * _g1_smith_ggx(n_dot_v[None, :], alpha)
+        contrib = np.where(
+            l_z > 0.0,
+            (g2 * vdh) / np.maximum(n_dot_v[None, :] * ndh, 1e-12),
+            0.0,
+        )
+        e = contrib.mean(axis=0)  # (C,)
+        lut[row] = (1.0 - e) / np.maximum(e, 1e-6)
+    return lut.astype(np.float32)
+
+
+def multiscatter_lut_jnp() -> jnp.ndarray:
+    """(LUT_SIZE, LUT_SIZE, 1) device array (rows=roughness, cols=NdotV)."""
+    return jnp.asarray(generate_multiscatter_lut())[..., None]
+
+
+def compute_multiscattering(lut: jnp.ndarray, c_spec, n_dot_i, roughness):
+    """``f_ms = 1 + Cspec * LUT(NdotI, roughness)``
+    (``microfacet.rlsl:17-23``); lut is (L, L, 1), c_spec (..., 3)."""
+    val = sample_bilinear(lut, n_dot_i, roughness)[..., 0]
+    return 1.0 + c_spec * val[..., None]

@@ -1,0 +1,223 @@
+"""Integrator correctness tests: white furnace, NEE lighting, shadows,
+progressive accumulation, determinism, and differentiability."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from heatray_tpu.camera import orbit_camera
+from heatray_tpu.options import RenderOptions
+from heatray_tpu.render import make_context, render, render_pass, resolve
+from heatray_tpu.options import FrameGlobals
+from heatray_tpu.scene import (
+    DirectionalLight,
+    EnvironmentLightDesc,
+    GlassParams,
+    PBRParams,
+    PointLight,
+    SceneBuilder,
+    plane_mesh,
+    sphere_mesh,
+    translate,
+)
+
+
+def white_furnace_scene():
+    b = SceneBuilder()
+    b.add_mesh(
+        sphere_mesh(16, 16, 1.0),
+        PBRParams(base_color=(1.0, 1.0, 1.0), roughness=1.0, metallic=0.0,
+                  specular_f0=0.0),
+    )
+    b.set_environment(EnvironmentLightDesc(solid_color=(1.0, 1.0, 1.0)))
+    return b.build()
+
+
+def simple_scene(light=None, env=None, sphere_mat=None):
+    b = SceneBuilder()
+    b.add_mesh(
+        sphere_mesh(16, 16, 1.0),
+        sphere_mat
+        or PBRParams(base_color=(0.8, 0.3, 0.3), roughness=1.0, specular_f0=0.0),
+    )
+    b.add_mesh(
+        plane_mesh(20, 20),
+        PBRParams(base_color=(0.9, 0.9, 0.9), roughness=1.0, specular_f0=0.0),
+        transform=translate([0, -1.0, 0]),
+    )
+    if light is not None:
+        b.add_directional_light(light)
+    b.set_environment(env)
+    return b.build()
+
+
+OPTS32 = RenderOptions(width=32, height=32, max_render_passes=8, max_ray_depth=4)
+
+
+@pytest.fixture(scope="module")
+def ctx32():
+    return make_context(OPTS32)
+
+
+class TestFurnace:
+    def test_white_furnace(self, ctx32):
+        """A white Lambertian sphere in a unit-radiance environment must
+        return exactly the environment radiance (energy conservation of the
+        whole estimator chain: env NEE + cosine BSDF sampling)."""
+        scene = white_furnace_scene()
+        cam = orbit_camera(32, 32, distance=3.0)
+        accum, _ = render(scene, cam, OPTS32, num_passes=8, ctx=ctx32)
+        img = np.asarray(resolve(accum))
+        assert np.isfinite(img).all()
+        # Every pixel (sphere or background) sees radiance ~1.  Rare
+        # silhouette pixels lose a little energy to tessellation
+        # self-occlusion + path truncation (inherent to the reference's
+        # estimator, whose indirect misses are black).
+        assert abs(img.mean() - 1.0) < 0.01, img.mean()
+        assert (np.abs(img - 1.0) < 0.02).mean() > 0.98
+        assert img.max() <= 1.0 + 1e-4  # never creates energy
+
+
+class TestDirectLighting:
+    def test_directional_analytic(self, ctx32):
+        """Lambertian plane under a directional light from straight above:
+        L = albedo/pi * NdotL * radiometric color."""
+        light = DirectionalLight(direction=(0.0, 1.0, 0.0), illuminance=683.0)
+        b = SceneBuilder()
+        b.add_mesh(
+            plane_mesh(50, 50),
+            PBRParams(base_color=(1.0, 1.0, 1.0), roughness=1.0, specular_f0=0.0),
+        )
+        b.add_directional_light(light)
+        scene = b.build()
+        cam = orbit_camera(32, 32, distance=5.0, theta=1.2)
+        accum, _ = render(scene, cam, OPTS32, num_passes=8, ctx=ctx32)
+        img = np.asarray(resolve(accum))
+        # radiometric color = 683 lux / 683 = 1 W; L = 1/pi * 1 * 1.
+        expected = 1.0 / np.pi
+        center = img[16, 16]
+        assert np.allclose(center, expected, rtol=0.05), (center, expected)
+
+    def test_shadowing(self, ctx32):
+        """The plane directly under the sphere must be in shadow."""
+        light = DirectionalLight(direction=(0.0, 1.0, 0.0), illuminance=683.0 * np.pi)
+        scene = simple_scene(light=light)
+        cam = orbit_camera(32, 32, distance=6.0, theta=0.9)
+        accum, _ = render(scene, cam, OPTS32, num_passes=8, ctx=ctx32)
+        img = np.asarray(resolve(accum))
+        assert np.isfinite(img).all()
+        lum = img.mean(axis=-1)
+        # Scene renders with lit regions and dark (shadowed/unlit) regions.
+        assert lum.max() > 0.2
+        assert lum.min() < 0.05 * lum.max()
+
+    def test_point_light_falloff(self, ctx32):
+        """Point-light illumination falls off with 1/d^2."""
+        b = SceneBuilder()
+        b.add_mesh(
+            plane_mesh(50, 50),
+            PBRParams(base_color=(1.0, 1.0, 1.0), roughness=1.0, specular_f0=0.0),
+        )
+        b.add_point_light(PointLight(position=(0.0, 2.0, 0.0),
+                                     luminous_intensity=683.0))
+        scene = b.build()
+        cam = orbit_camera(32, 32, distance=6.0, theta=1.3)
+        accum, _ = render(scene, cam, OPTS32, num_passes=8, ctx=ctx32)
+        img = np.asarray(resolve(accum))
+        assert np.isfinite(img).all()
+        # Directly under the light the plane is brightest.
+        lum = img.mean(axis=-1)
+        cy, cx = np.unravel_index(lum.argmax(), lum.shape)
+        assert abs(cy - 16) <= 4 and abs(cx - 16) <= 4
+
+
+class TestAccumulation:
+    def test_alpha_counts_passes(self, ctx32):
+        scene = white_furnace_scene()
+        cam = orbit_camera(32, 32, distance=3.0)
+        accum, _ = render(scene, cam, OPTS32, num_passes=3, ctx=ctx32)
+        assert np.all(np.asarray(accum[..., 3]) == 3.0)
+
+    def test_deterministic(self, ctx32):
+        scene = simple_scene(
+            light=DirectionalLight(), env=EnvironmentLightDesc()
+        )
+        cam = orbit_camera(32, 32, distance=5.0, theta=0.5)
+        a1, _ = render(scene, cam, OPTS32, num_passes=2, ctx=ctx32)
+        a2, _ = render(scene, cam, OPTS32, num_passes=2, ctx=ctx32)
+        assert np.array_equal(np.asarray(a1), np.asarray(a2))
+
+    def test_resume_matches_fresh(self, ctx32):
+        """Checkpoint/resume: pass 0..3 in one run == two chunked runs."""
+        scene = simple_scene(light=DirectionalLight())
+        cam = orbit_camera(32, 32, distance=5.0, theta=0.5)
+        full, _ = render(scene, cam, OPTS32, num_passes=4, ctx=ctx32)
+        part, _ = render(scene, cam, OPTS32, num_passes=2, ctx=ctx32)
+        part, _ = render(
+            scene, cam, OPTS32, num_passes=2, ctx=ctx32, accum=part, start_pass=2
+        )
+        assert np.allclose(np.asarray(full), np.asarray(part), atol=1e-5)
+
+
+class TestGlass:
+    def test_glass_renders_finite(self, ctx32):
+        scene = simple_scene(
+            light=DirectionalLight(),
+            env=EnvironmentLightDesc(solid_color=(0.5, 0.5, 0.5)),
+            sphere_mat=GlassParams(base_color=(0.9, 0.9, 0.9), ior=1.5,
+                                   roughness=0.1, density=0.5),
+        )
+        cam = orbit_camera(32, 32, distance=5.0, theta=0.3)
+        accum, _ = render(scene, cam, OPTS32, num_passes=4, ctx=ctx32)
+        img = np.asarray(resolve(accum))
+        assert np.isfinite(img).all()
+        assert img.mean() > 0.05  # light gets through / reflects
+
+
+class TestDifferentiability:
+    def test_grad_wrt_base_color(self, ctx32):
+        scene = simple_scene(light=DirectionalLight())
+        cam = orbit_camera(32, 32, distance=5.0, theta=0.5)
+        frame = FrameGlobals.create(0)
+        accum0 = jnp.zeros((32, 32, 4))
+
+        def loss(base_color):
+            mats = scene.materials.replace(
+                base_color=scene.materials.base_color.at[0].set(base_color)
+            )
+            s = scene.replace(materials=mats)
+            accum = render_pass(s, cam, ctx32, OPTS32, frame, accum0)
+            return jnp.mean(accum[..., :3])
+
+        g = jax.grad(loss)(jnp.array([0.8, 0.3, 0.3]))
+        g = np.asarray(g)
+        assert np.isfinite(g).all()
+        assert np.abs(g).max() > 0.0, "gradient should be nonzero"
+
+    def test_grad_matches_finite_differences(self, ctx32):
+        """Pixel gradients w.r.t. a material scalar match finite differences
+        (the driver's north-star check, small scale)."""
+        scene = simple_scene(light=DirectionalLight())
+        cam = orbit_camera(32, 32, distance=5.0, theta=0.5)
+        frame = FrameGlobals.create(0)
+        accum0 = jnp.zeros((32, 32, 4))
+
+        def loss(rough):
+            mats = scene.materials.replace(
+                roughness=scene.materials.roughness.at[0].set(rough),
+                roughness_alpha=scene.materials.roughness_alpha.at[0].set(
+                    rough * rough
+                ),
+            )
+            s = scene.replace(materials=mats)
+            accum = render_pass(s, cam, ctx32, OPTS32, frame, accum0)
+            return jnp.mean(accum[..., :3])
+
+        g = float(jax.grad(loss)(jnp.float32(0.6)))
+        h = 1e-2
+        fd = (float(loss(jnp.float32(0.6 + h))) - float(loss(jnp.float32(0.6 - h)))) / (
+            2 * h
+        )
+        assert np.isfinite(g)
+        assert np.isclose(g, fd, rtol=0.05, atol=1e-5), (g, fd)
