@@ -1,0 +1,106 @@
+"""Benchmark: forward path-tracing throughput on one TPU chip.
+
+Renders the Cornell-box benchmark scene (driver config 2: triangle meshes,
+NEE point/spot lighting, 4 bounces, progressive QMC) at 1080p and reports
+Mrays/s against the 100 Mrays/s/chip north-star baseline.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    # Remote TPU compiles are slow (~minutes for the full render graph);
+    # persist compiled executables across runs.
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR", "/tmp/heatray_jax_cache"
+    )
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    width = int(os.environ.get("BENCH_WIDTH", 1920))
+    height = int(os.environ.get("BENCH_HEIGHT", 1080))
+    depth = int(os.environ.get("BENCH_DEPTH", 4))
+    timed_passes = int(os.environ.get("BENCH_PASSES", 4))
+
+    from heatray_tpu.camera import orbit_camera
+    from heatray_tpu.options import FrameGlobals, RenderOptions
+    from heatray_tpu.render.integrator import make_context, render_pass
+    from heatray_tpu.scene.builtin import cornell_box
+
+    options = RenderOptions(
+        width=width,
+        height=height,
+        max_render_passes=max(64, timed_passes + 2),
+        max_ray_depth=depth,
+    )
+    scene = cornell_box(light="both", with_spheres=True)
+    camera = orbit_camera(width, height, distance=6.2, focal_length_mm=35.0)
+    ctx = make_context(options)
+    accum = jnp.zeros((height, width, 4), jnp.float32)
+
+    print(
+        f"[bench] {width}x{height}, depth {depth}, "
+        f"{int(scene.geometry.num_triangles)} tris, device {jax.devices()[0]}",
+        file=sys.stderr,
+    )
+
+    # Instrumented pass: exact ray count (compile + count).
+    t0 = time.time()
+    accum1, stats = render_pass(
+        scene, camera, ctx, options, FrameGlobals.create(0), accum, with_stats=True
+    )
+    rays_per_pass = int(stats["rays"])
+    jax.block_until_ready(accum1)
+    print(
+        f"[bench] rays/pass = {rays_per_pass/1e6:.1f} M "
+        f"(instrumented pass + compile: {time.time()-t0:.1f}s)",
+        file=sys.stderr,
+    )
+
+    # Warmup the un-instrumented variant (separate compile).
+    t0 = time.time()
+    accum = render_pass(
+        scene, camera, ctx, options, FrameGlobals.create(1), accum
+    )
+    jax.block_until_ready(accum)
+    print(f"[bench] warmup pass: {time.time()-t0:.1f}s", file=sys.stderr)
+
+    # Timed passes.
+    t0 = time.time()
+    for i in range(timed_passes):
+        accum = render_pass(
+            scene, camera, ctx, options, FrameGlobals.create(2 + i), accum
+        )
+    jax.block_until_ready(accum)
+    dt = time.time() - t0
+
+    mrays = rays_per_pass * timed_passes / dt / 1e6
+    print(
+        f"[bench] {timed_passes} passes in {dt:.2f}s -> {mrays:.1f} Mrays/s",
+        file=sys.stderr,
+    )
+
+    print(
+        json.dumps(
+            {
+                "metric": "fwd path-tracing throughput, Cornell box 1080p depth 4",
+                "value": round(mrays, 2),
+                "unit": "Mrays/s/chip",
+                "vs_baseline": round(mrays / 100.0, 3),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,121 @@
+"""Inverse rendering: optimize scene parameters against target images.
+
+The reference has no counterpart (it is forward-only); this is the TPU
+build's differentiable-rendering surface (BASELINE.json north star): the
+renderer is pure jnp, so material/light/camera parameters take gradients
+through the full estimator and optimize with optax.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Dict
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..camera import CameraParams
+from ..options import FrameGlobals, RenderOptions
+from ..render.integrator import RenderContext, render_pass, resolve
+from ..scene.scene import Scene
+
+
+def apply_material_params(scene: Scene, params: Dict[str, jnp.ndarray]) -> Scene:
+    """Overlay a dict of MaterialTable field arrays onto the scene.
+
+    Derived fields stay consistent: roughness is clamped and re-squared into
+    roughness_alpha (matching ``PhysicallyBasedMaterial::modify``).
+    """
+    mats = scene.materials
+    updates = {}
+    for key, value in params.items():
+        if key == "roughness":
+            rough = jnp.clip(value, 0.01, 1.0)
+            updates["roughness"] = rough
+            updates["roughness_alpha"] = rough * rough
+        elif key == "clearcoat_roughness":
+            rough = jnp.clip(value, 0.01, 1.0)
+            updates["clearcoat_roughness"] = rough
+            updates["clearcoat_roughness_alpha"] = rough * rough
+        elif key in ("base_color", "emissive"):
+            updates[key] = jnp.clip(value, 0.0, 1.0)
+        elif key in ("metallic",):
+            updates[key] = jnp.clip(value, 0.0, 1.0)
+        else:
+            updates[key] = value
+    return scene.replace(materials=mats.replace(**updates))
+
+
+def make_loss_fn(
+    scene: Scene,
+    camera: CameraParams,
+    ctx: RenderContext,
+    options: RenderOptions,
+    target: jnp.ndarray,
+    num_passes: int = 1,
+    apply_params: Callable[[Scene, Dict], Scene] = apply_material_params,
+):
+    """L2 image loss of an ``num_passes``-pass render against ``target``
+    (H, W, 3) linear."""
+
+    def loss_fn(params: Dict[str, jnp.ndarray], sample_offset=0):
+        s = apply_params(scene, params)
+        accum = jnp.zeros((options.height, options.width, 4), jnp.float32)
+
+        def body(accum, i):
+            frame = FrameGlobals.create(sample_offset + i)
+            return render_pass(s, camera, ctx, options, frame, accum), None
+
+        accum, _ = jax.lax.scan(
+            body, accum, jnp.arange(num_passes, dtype=jnp.int32)
+        )
+        img = resolve(accum)
+        return jnp.mean((img - target) ** 2)
+
+    return loss_fn
+
+
+def optimize(
+    scene: Scene,
+    camera: CameraParams,
+    ctx: RenderContext,
+    options: RenderOptions,
+    target: jnp.ndarray,
+    init_params: Dict[str, jnp.ndarray],
+    steps: int = 100,
+    learning_rate: float = 5e-2,
+    num_passes: int = 1,
+    optimizer: optax.GradientTransformation | None = None,
+    rotate_samples: bool = True,
+    callback: Callable[[int, float, Dict], None] | None = None,
+):
+    """Gradient-descend scene parameters toward a target image.
+
+    Returns (params, losses).  ``rotate_samples`` advances the QMC pass
+    window each step so gradients see fresh sample sets (keeping forward and
+    backward on identical streams within a step — discrete choices stay
+    frozen under ``stop_gradient``).
+    """
+    if optimizer is None:
+        optimizer = optax.adam(learning_rate)
+    loss_fn = make_loss_fn(
+        scene, camera, ctx, options, target, num_passes=num_passes
+    )
+
+    @jax.jit
+    def step_fn(params, opt_state, offset):
+        loss, grads = jax.value_and_grad(loss_fn)(params, offset)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    params = init_params
+    opt_state = optimizer.init(params)
+    losses = []
+    for i in range(steps):
+        offset = (i * num_passes) % options.max_render_passes if rotate_samples else 0
+        params, opt_state, loss = step_fn(params, opt_state, jnp.int32(offset))
+        losses.append(float(loss))
+        if callback is not None:
+            callback(i, losses[-1], params)
+    return params, losses

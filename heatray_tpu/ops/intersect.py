@@ -119,7 +119,23 @@ def _chunk_hits(o_feat, d_feat, w_chunk, t_min, t_max):
     return jnp.where(valid, t, MISS_T), dz
 
 
-@functools.partial(jax.jit, static_argnames=("tri_chunk",))
+def _prep_tris(accel: WoopAccel, tri_chunk: int):
+    t_count = accel.w.shape[0]
+    chunk = min(tri_chunk, max(t_count, 1))
+    n_chunks = -(-t_count // chunk)
+    w = _pad_to(accel.w, n_chunks * chunk)
+    w = jax.lax.stop_gradient(w).reshape(n_chunks, chunk, 3, 4)
+    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
+    return w, bases
+
+
+def _block_rays(r: int, ray_block: int):
+    block = min(ray_block, max(r, 1))
+    n_blocks = -(-r // block)
+    return block, n_blocks, n_blocks * block
+
+
+@functools.partial(jax.jit, static_argnames=("tri_chunk", "ray_block"))
 def intersect_closest(
     accel: WoopAccel,
     origins: jnp.ndarray,
@@ -127,52 +143,62 @@ def intersect_closest(
     t_min=1e-4,
     t_max=3.0e37,
     tri_chunk: int = 2048,
+    ray_block: int = 65536,
 ):
     """Closest-hit query: rays (R, 3) x all triangles.
 
-    Returns (t, tri_id, front_facing, hit_mask); misses get tri_id = -1 and
-    t = MISS_T.  Selection outputs carry no gradients (piecewise-constant).
+    Tiled both ways: an outer ``lax.map`` over ray blocks bounds the live
+    (ray x triangle) intermediates, an inner ``lax.scan`` over triangle
+    chunks keeps a running closest hit.  Returns (t, tri_id, front_facing,
+    hit_mask); misses get tri_id = -1 and t = MISS_T.  Selection outputs
+    carry no gradients (piecewise-constant).
     """
-    t_count = accel.w.shape[0]
-    chunk = min(tri_chunk, max(t_count, 1))
-    n_chunks = -(-t_count // chunk)
-    w = _pad_to(accel.w, n_chunks * chunk)
-    w = jax.lax.stop_gradient(w).reshape(n_chunks, chunk, 3, 4)
-
+    w, bases = _prep_tris(accel, tri_chunk)
     o_feat, d_feat = _ray_features(origins, directions)
     o_feat = jax.lax.stop_gradient(o_feat)
     d_feat = jax.lax.stop_gradient(d_feat)
-
     r = origins.shape[0]
-    init = (
-        jnp.full((r,), MISS_T, jnp.float32),  # best t
-        jnp.full((r,), -1, jnp.int32),  # best tri id
-        jnp.zeros((r,), jnp.float32),  # dz at best hit (sign -> facing)
-    )
     t_max = jnp.asarray(t_max, jnp.float32)
 
-    def body(carry, args):
-        w_chunk, base = args
-        best_t, best_id, best_dz = carry
-        t, dz = _chunk_hits(o_feat, d_feat, w_chunk, t_min, t_max)
-        t = jnp.minimum(t, best_t[:, None])  # only accept improvements
-        arg = jnp.argmin(t, axis=1)
-        cand_t = jnp.take_along_axis(t, arg[:, None], axis=1)[:, 0]
-        cand_dz = jnp.take_along_axis(dz, arg[:, None], axis=1)[:, 0]
-        better = cand_t < best_t
-        best_t = jnp.where(better, cand_t, best_t)
-        best_id = jnp.where(better, base + arg.astype(jnp.int32), best_id)
-        best_dz = jnp.where(better, cand_dz, best_dz)
-        return (best_t, best_id, best_dz), None
+    block, n_blocks, padded = _block_rays(r, ray_block)
+    o_feat = _pad_to(o_feat, padded).reshape(n_blocks, block, 4)
+    d_feat = _pad_to(d_feat, padded).reshape(n_blocks, block, 4)
 
-    bases = jnp.arange(n_chunks, dtype=jnp.int32) * chunk
-    (best_t, best_id, best_dz), _ = jax.lax.scan(body, init, (w, bases))
+    def per_block(feats):
+        o_b, d_b = feats
+        init = (
+            jnp.full((block,), MISS_T, jnp.float32),
+            jnp.full((block,), -1, jnp.int32),
+            jnp.zeros((block,), jnp.float32),
+        )
+
+        def body(carry, args):
+            w_chunk, base = args
+            best_t, best_id, best_dz = carry
+            t, dz = _chunk_hits(o_b, d_b, w_chunk, t_min, t_max)
+            t = jnp.minimum(t, best_t[:, None])  # only accept improvements
+            arg = jnp.argmin(t, axis=1)
+            cand_t = jnp.take_along_axis(t, arg[:, None], axis=1)[:, 0]
+            cand_dz = jnp.take_along_axis(dz, arg[:, None], axis=1)[:, 0]
+            better = cand_t < best_t
+            best_t = jnp.where(better, cand_t, best_t)
+            best_id = jnp.where(better, base + arg.astype(jnp.int32), best_id)
+            best_dz = jnp.where(better, cand_dz, best_dz)
+            return (best_t, best_id, best_dz), None
+
+        out, _ = jax.lax.scan(body, init, (w, bases))
+        return out
+
+    best_t, best_id, best_dz = jax.lax.map(per_block, (o_feat, d_feat))
+    best_t = best_t.reshape(-1)[:r]
+    best_id = best_id.reshape(-1)[:r]
+    best_dz = best_dz.reshape(-1)[:r]
     hit = best_id >= 0
     front = best_dz < 0.0
     return best_t, best_id, front, hit
 
 
-@functools.partial(jax.jit, static_argnames=("tri_chunk",))
+@functools.partial(jax.jit, static_argnames=("tri_chunk", "ray_block"))
 def intersect_any(
     accel: WoopAccel,
     origins: jnp.ndarray,
@@ -180,28 +206,37 @@ def intersect_any(
     t_min=1e-4,
     t_max=3.0e37,
     tri_chunk: int = 2048,
+    ray_block: int = 65536,
 ):
     """Any-hit (occlusion) query; returns a boolean (R,) 'blocked' mask.
 
     ``t_max`` may be per-ray (R,) — used by NEE shadow rays toward punctual
     lights (``rl_OutRay.maxT``, ``microfacet.rlsl:88``).
     """
-    t_count = accel.w.shape[0]
-    chunk = min(tri_chunk, max(t_count, 1))
-    n_chunks = -(-t_count // chunk)
-    w = _pad_to(accel.w, n_chunks * chunk)
-    w = jax.lax.stop_gradient(w).reshape(n_chunks, chunk, 3, 4)
+    w, _ = _prep_tris(accel, tri_chunk)
     o_feat, d_feat = _ray_features(origins, directions)
     o_feat = jax.lax.stop_gradient(o_feat)
     d_feat = jax.lax.stop_gradient(d_feat)
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), origins.shape[:1])
+    r = origins.shape[0]
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
 
-    def body(blocked, w_chunk):
-        t, _ = _chunk_hits(o_feat, d_feat, w_chunk, t_min, t_max[:, None])
-        return blocked | jnp.any(t < MISS_T, axis=1), None
+    block, n_blocks, padded = _block_rays(r, ray_block)
+    o_feat = _pad_to(o_feat, padded).reshape(n_blocks, block, 4)
+    d_feat = _pad_to(d_feat, padded).reshape(n_blocks, block, 4)
+    t_max_b = _pad_to(t_max, padded).reshape(n_blocks, block)
 
-    blocked, _ = jax.lax.scan(body, jnp.zeros(origins.shape[:1], bool), w)
-    return blocked
+    def per_block(feats):
+        o_b, d_b, tm_b = feats
+
+        def body(blocked, w_chunk):
+            t, _ = _chunk_hits(o_b, d_b, w_chunk, t_min, tm_b[:, None])
+            return blocked | jnp.any(t < MISS_T, axis=1), None
+
+        blocked, _ = jax.lax.scan(body, jnp.zeros((block,), bool), w)
+        return blocked
+
+    blocked = jax.lax.map(per_block, (o_feat, d_feat, t_max_b))
+    return blocked.reshape(-1)[:r]
 
 
 def hit_attributes(accel: WoopAccel, origins, directions, tri_id, hit_mask):

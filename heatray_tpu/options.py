@@ -56,6 +56,10 @@ class RenderOptions:
     rr_start_depth: int = 3
     # Ray-march epsilon for spawning secondary rays off surfaces.
     ray_epsilon: float = 1e-4
+    # Intersector tiling: bounds the live (ray x triangle) intermediates.
+    # (16384 x 512 x 3 floats ~= 100 MB per operand on TPU.)
+    tri_chunk: int = 512
+    ray_block: int = 16384
 
     def __post_init__(self):
         assert self.max_ray_depth >= 1

@@ -108,7 +108,7 @@ def _offset_origin(p, geo_n, direction, eps):
     return p + geo_n * (sign * eps)[:, None]
 
 
-@functools.partial(jax.jit, static_argnames=("options",))
+@functools.partial(jax.jit, static_argnames=("options", "with_stats"))
 def render_pass(
     scene: Scene,
     camera: CameraParams,
@@ -116,8 +116,14 @@ def render_pass(
     options: RenderOptions,
     frame: FrameGlobals,
     accum: jnp.ndarray,
+    with_stats: bool = False,
 ) -> jnp.ndarray:
-    """Trace one progressive pass and accumulate into ``accum`` (H, W, 4)."""
+    """Trace one progressive pass and accumulate into ``accum`` (H, W, 4).
+
+    With ``with_stats=True`` returns ``(accum, stats)`` where stats counts
+    the traced rays (primary + per-bounce extension and shadow rays) — the
+    basis of the rays/s benchmark metric.
+    """
     h, w = options.height, options.width
     eps = options.ray_epsilon
     accel = build_woop(scene.geometry.positions, scene.geometry.indices)
@@ -131,13 +137,43 @@ def render_pass(
     active = jnp.ones((r,), bool)
     contrib = jnp.zeros((r, 3), jnp.float32)
 
-    clamp = lambda c: jnp.minimum(c, frame.max_channel_value)
+    # Surface-attribute AOVs short-circuit after the primary hit
+    # (``physicallyBased.rlsl:159-203``).
+    from .aov import SURFACE_AOVS, accum_visualize, compute_surface_aov
+
+    if options.aov in SURFACE_AOVS:
+        t, tid, front, hit = intersect_closest(
+            accel, org, direction, t_min=eps,
+            tri_chunk=options.tri_chunk, ray_block=options.ray_block,
+        )
+        _, b1, b2 = hit_attributes(accel, org, direction, tid, hit)
+        value = compute_surface_aov(
+            scene, options.aov, direction, b1, b2, tid, front, hit
+        )
+        update = jnp.concatenate(
+            [value, jnp.ones((r, 1), jnp.float32)], axis=-1
+        ).reshape(h, w, 4)
+        if with_stats:
+            return accum + update, {"rays": jnp.int32(r)}
+        return accum + update
+
+    if options.aov in (AOV.NANS, AOV.INFS):
+        # Accumulator visualizer replaces the firefly clamp
+        # (``accumulator.rlsl:12-24``).
+        clamp = lambda c: accum_visualize(options.aov, c)
+    else:
+        clamp = lambda c: jnp.minimum(c, frame.max_channel_value)
 
     def bounce(carry, depth):
-        org, direction, weight, env_on_miss, active, contrib = carry
+        org, direction, weight, env_on_miss, active, contrib, ray_count = carry
 
         t, tid, front, hit = intersect_closest(
-            accel, org, direction, t_min=eps
+            accel,
+            org,
+            direction,
+            t_min=eps,
+            tri_chunk=options.tri_chunk,
+            ray_block=options.ray_block,
         )
         hit = hit & active
 
@@ -186,10 +222,19 @@ def render_pass(
             res.shadow_dir,
             t_min=eps,
             t_max=res.shadow_max_t - 2.0 * eps,
+            tri_chunk=options.tri_chunk,
+            ray_block=options.ray_block,
         )
         lit = res.shadow_active & (~blocked)
         contrib = contrib + jnp.where(
             lit[:, None], clamp(res.shadow_weight * res.shadow_radiance), 0.0
+        )
+
+        # Ray accounting: this bounce's closest-hit lanes + shadow lanes.
+        ray_count = (
+            ray_count
+            + jnp.sum(active.astype(jnp.int32))
+            + jnp.sum(res.shadow_active.astype(jnp.int32))
         )
 
         # Extension rays.
@@ -201,16 +246,19 @@ def render_pass(
             res.ext_env_on_miss,
             res.ext_active,
             contrib,
+            ray_count,
         )
         return new_carry, None
 
     depths = jnp.arange(1, options.max_ray_depth + 1, dtype=jnp.int32)
-    init = (org, direction, weight, env_on_miss, active, contrib)
-    (_, _, _, _, _, contrib), _ = jax.lax.scan(bounce, init, depths)
+    init = (org, direction, weight, env_on_miss, active, contrib, jnp.int32(0))
+    (_, _, _, _, _, contrib, ray_count), _ = jax.lax.scan(bounce, init, depths)
 
     update = jnp.concatenate(
         [contrib, jnp.ones((r, 1), jnp.float32)], axis=-1
     ).reshape(h, w, 4)
+    if with_stats:
+        return accum + update, {"rays": ray_count}
     return accum + update
 
 
