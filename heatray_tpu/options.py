@@ -60,6 +60,9 @@ class RenderOptions:
     # (16384 x 512 x 3 floats ~= 100 MB per operand on TPU.)
     tri_chunk: int = 512
     ray_block: int = 16384
+    # Intersection backend: "auto" (fused Pallas kernels on TPU, XLA
+    # elsewhere), "pallas", or "xla".
+    intersect_backend: str = "auto"
 
     def __post_init__(self):
         assert self.max_ray_depth >= 1

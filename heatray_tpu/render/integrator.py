@@ -28,6 +28,11 @@ from ..ops.intersect import (
     intersect_any,
     intersect_closest,
 )
+from ..ops.intersect_pallas import (
+    intersect_any_pallas,
+    intersect_closest_pallas,
+    pack_for_pallas,
+)
 from ..sampling.tables import (
     SampleTables,
     build_tables,
@@ -108,6 +113,54 @@ def _offset_origin(p, geo_n, direction, eps):
     return p + geo_n * (sign * eps)[:, None]
 
 
+def _use_pallas(options: RenderOptions, num_triangles: int) -> bool:
+    """Backend select: fused Pallas kernels on TPU-like platforms (the
+    triangle table must fit VMEM), XLA tiled path elsewhere."""
+    if options.intersect_backend == "pallas":
+        return True
+    if options.intersect_backend == "xla":
+        return False
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    return on_tpu and num_triangles <= 250_000
+
+
+def _make_intersectors(accel, options: RenderOptions):
+    """Returns (closest, any) callables with a uniform signature."""
+    if _use_pallas(options, accel.w.shape[0]):
+        packed = pack_for_pallas(accel)
+        geo_n = accel.geo_normal
+
+        def closest(org, direction, t_min):
+            t, tid, hit = intersect_closest_pallas(
+                packed, org, direction, t_min=t_min
+            )
+            # Front-facing = approaching against the geometric normal.
+            n = jnp.take(geo_n, jnp.maximum(tid, 0), axis=0)
+            front = jnp.sum(direction * n, axis=-1) < 0.0
+            return t, tid, front, hit
+
+        def any_hit(org, direction, t_min, t_max):
+            return intersect_any_pallas(
+                packed, org, direction, t_min=t_min, t_max=t_max
+            )
+
+    else:
+
+        def closest(org, direction, t_min):
+            return intersect_closest(
+                accel, org, direction, t_min=t_min,
+                tri_chunk=options.tri_chunk, ray_block=options.ray_block,
+            )
+
+        def any_hit(org, direction, t_min, t_max):
+            return intersect_any(
+                accel, org, direction, t_min=t_min, t_max=t_max,
+                tri_chunk=options.tri_chunk, ray_block=options.ray_block,
+            )
+
+    return closest, any_hit
+
+
 @functools.partial(jax.jit, static_argnames=("options", "with_stats"))
 def render_pass(
     scene: Scene,
@@ -127,6 +180,7 @@ def render_pass(
     h, w = options.height, options.width
     eps = options.ray_epsilon
     accel = build_woop(scene.geometry.positions, scene.geometry.indices)
+    closest_fn, any_fn = _make_intersectors(accel, options)
 
     org, direction, seq_id, seq_off = generate_primary_rays(
         camera, ctx.tables, options, frame.sample_index
@@ -142,10 +196,7 @@ def render_pass(
     from .aov import SURFACE_AOVS, accum_visualize, compute_surface_aov
 
     if options.aov in SURFACE_AOVS:
-        t, tid, front, hit = intersect_closest(
-            accel, org, direction, t_min=eps,
-            tri_chunk=options.tri_chunk, ray_block=options.ray_block,
-        )
+        t, tid, front, hit = closest_fn(org, direction, eps)
         _, b1, b2 = hit_attributes(accel, org, direction, tid, hit)
         value = compute_surface_aov(
             scene, options.aov, direction, b1, b2, tid, front, hit
@@ -167,14 +218,7 @@ def render_pass(
     def bounce(carry, depth):
         org, direction, weight, env_on_miss, active, contrib, ray_count = carry
 
-        t, tid, front, hit = intersect_closest(
-            accel,
-            org,
-            direction,
-            t_min=eps,
-            tri_chunk=options.tri_chunk,
-            ray_block=options.ray_block,
-        )
+        t, tid, front, hit = closest_fn(org, direction, eps)
         hit = hit & active
 
         # Miss: environment (only for rays whose default primitive is the
@@ -216,14 +260,8 @@ def render_pass(
 
         # NEE shadow rays (occlusion query with per-ray maxT).
         s_org = _offset_origin(p, geo_n, res.shadow_dir, eps)
-        blocked = intersect_any(
-            accel,
-            s_org,
-            res.shadow_dir,
-            t_min=eps,
-            t_max=res.shadow_max_t - 2.0 * eps,
-            tri_chunk=options.tri_chunk,
-            ray_block=options.ray_block,
+        blocked = any_fn(
+            s_org, res.shadow_dir, eps, res.shadow_max_t - 2.0 * eps
         )
         lit = res.shadow_active & (~blocked)
         contrib = contrib + jnp.where(

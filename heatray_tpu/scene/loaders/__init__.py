@@ -1,0 +1,36 @@
+"""Model loaders (OBJ/MTL, glTF/GLB) with the reference's material mapping."""
+
+from typing import Optional
+
+from .gltf import load_gltf
+from .obj import load_obj
+
+
+def load_model_scene(path: str, env=None, scale: float = 1.0):
+    """Load a model file into a Scene (the analog of ``Scene::loadFromDisk``)."""
+    from ..scene import SceneBuilder
+
+    b = SceneBuilder()
+    lights = []
+    if path.endswith((".gltf", ".glb")):
+        meshes, materials, lights = load_gltf(path, scale=scale)
+    elif path.endswith(".obj"):
+        meshes, materials = load_obj(path, scale=scale)
+    else:
+        raise ValueError(f"unsupported model format: {path}")
+    for mesh, mat in zip(meshes, materials):
+        b.add_mesh(mesh, mat)
+    from ..lights import DirectionalLight, PointLight, SpotLight
+
+    for light in lights:
+        if isinstance(light, DirectionalLight):
+            b.add_directional_light(light)
+        elif isinstance(light, PointLight):
+            b.add_point_light(light)
+        elif isinstance(light, SpotLight):
+            b.add_spot_light(light)
+    b.set_environment(env)
+    return b.build()
+
+
+__all__ = ["load_gltf", "load_obj", "load_model_scene"]
