@@ -46,7 +46,7 @@ def main() -> None:
     scene = cornell_box(light="both", with_spheres=True)
     camera = orbit_camera(width, height, distance=6.2, focal_length_mm=35.0)
     ctx = make_context(options)
-    accum = jnp.zeros((height, width, 4), jnp.float32)
+    accum = jnp.zeros((4, height, width), jnp.float32)
 
     print(
         f"[bench] {width}x{height}, depth {depth}, "

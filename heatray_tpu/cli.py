@@ -104,7 +104,7 @@ def cmd_render(args) -> int:
 
     from heatray_tpu.io_utils.image import save_hdr, save_ldr
     from heatray_tpu.post import PostProcessingParams, apply_post_pipeline
-    from heatray_tpu.render import render
+    from heatray_tpu.render import render, resolve
 
     scene, camera, options = _build(args)
     t0 = time.time()
@@ -120,8 +120,7 @@ def cmd_render(args) -> int:
     post = PostProcessingParams(tonemapping_enabled=args.tonemap)
     img = apply_post_pipeline(accum, post)
     if args.out.endswith((".tiff", ".tif", ".npy")):
-        save_hdr(args.out, np.asarray(accum[..., :3] / np.maximum(
-            np.asarray(accum[..., 3:]), 1.0)))
+        save_hdr(args.out, np.asarray(resolve(accum)))
     else:
         save_ldr(args.out, np.asarray(img))
     print(f"wrote {args.out}", file=sys.stderr)

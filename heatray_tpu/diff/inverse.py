@@ -58,9 +58,11 @@ def make_loss_fn(
     """L2 image loss of an ``num_passes``-pass render against ``target``
     (H, W, 3) linear."""
 
+    target_planar = jnp.transpose(jnp.asarray(target, jnp.float32), (2, 0, 1))
+
     def loss_fn(params: Dict[str, jnp.ndarray], sample_offset=0):
         s = apply_params(scene, params)
-        accum = jnp.zeros((options.height, options.width, 4), jnp.float32)
+        accum = jnp.zeros((4, options.height, options.width), jnp.float32)
 
         def body(accum, i):
             frame = FrameGlobals.create(sample_offset + i)
@@ -69,8 +71,8 @@ def make_loss_fn(
         accum, _ = jax.lax.scan(
             body, accum, jnp.arange(num_passes, dtype=jnp.int32)
         )
-        img = resolve(accum)
-        return jnp.mean((img - target) ** 2)
+        img = accum[:3] / jnp.maximum(accum[3:], 1.0)
+        return jnp.mean((img - target_planar) ** 2)
 
     return loss_fn
 

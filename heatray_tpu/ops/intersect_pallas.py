@@ -1,18 +1,22 @@
 """Fused Pallas TPU kernels for ray-triangle intersection.
 
-The XLA path (intersect.py) materializes (ray x triangle) transform products
-in HBM; these kernels keep everything in VMEM: per ray tile, loop triangle
-chunks, run the two Woop transforms as (Rt, 4) @ (4, 3*Tc) MXU dots, fuse
-the ~10 VPU ops per pair, and keep the running closest hit in registers.
+The XLA path (intersect.py) materializes (ray x triangle) products in HBM;
+these kernels keep everything in VMEM.  Layout is chosen for the TPU tile
+model (f32 tiles are 8 sublanes x 128 lanes):
 
-Layout: ``WoopPallas.w`` is (C, 4, 3*Tc): for chunk c the 4x(3*Tc) matrix
-whose column blocks [0:Tc], [Tc:2Tc], [2Tc:3Tc] produce the b1, b2, s
-coordinates of all Tc triangles.  Whole-``w``-in-VMEM supports scenes up to
-~250k triangles; larger scenes fall back to the XLA path (until the
-HBM-streaming variant lands).
+- Rays arrive as ONE planar ``(8, R)`` array (rows ox,oy,oz,1, dx,dy,dz,0)
+  so the HBM footprint is exactly 8 rows — zero padding — and the kernel
+  slices ``o_feat = rays[0:4]`` / ``d_feat = rays[4:8]`` on sublanes.
+- Triangles are pre-packed per chunk as ``(C, 4, 3*Tc)``: for chunk c the
+  4 x (3*Tc) matrix whose column blocks [0:Tc], [Tc:2Tc], [2Tc:3Tc] produce
+  the b1, b2, s coordinates of all Tc triangles.
+- The two Woop transforms run as MXU contractions
+  ``(4, 3Tc)^T . (4, Rt) -> (3Tc, Rt)`` — triangles on sublanes, rays on
+  lanes — and the ~10 VPU select ops per pair operate on full (Tc, Rt)
+  tiles.  Per-ray running state lives in (1, Rt) rows: full lane use.
 
-All kernel values stay 2D — per-ray scalars are (Rt, 1) columns (keepdims
-reductions), which Mosaic handles without vector reshapes.
+Whole-``w``-in-VMEM supports scenes up to ~250k triangles; larger scenes
+fall back to the XLA path (until the HBM-streaming variant lands).
 """
 
 from __future__ import annotations
@@ -25,11 +29,12 @@ from flax import struct
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .intersect import WoopAccel
+from ..vec import Vec3
+from .intersect import WoopAccel, chunk_boxes
 
 MISS_T = 3.0e38  # plain float: jnp constants would be captured by the kernel
 
-RAY_TILE = 256  # rays per grid step (sublane-friendly)
+RAY_TILE = 1024  # rays per grid step (8 lane-tiles)
 TRI_CHUNK = 512  # triangles per inner iteration (lane dim = 1536)
 _DZ_EPS = 1e-15
 _BARY_EPS = 1e-6
@@ -40,6 +45,7 @@ class WoopPallas:
     """Kernel-layout triangle data (a pytree)."""
 
     w: jnp.ndarray  # (C, 4, 3*Tc) f32
+    boxes: jnp.ndarray  # (C, 6) f32 per-chunk AABBs (SMEM in the kernels)
     num_triangles: int = struct.field(pytree_node=False)
 
     @property
@@ -48,149 +54,215 @@ class WoopPallas:
 
 
 def pack_for_pallas(accel: WoopAccel, tri_chunk: int = TRI_CHUNK) -> WoopPallas:
-    """Repack (T, 3, 4) Woop rows into the (C, 4, 3*Tc) kernel layout.
+    """Repack planar (12, T) Woop rows into the (C, 4, 3*Tc) kernel layout
+    plus per-chunk AABBs for cluster culling (triangles arrive Morton-ordered
+    from the scene builder, so chunks are spatially compact).
 
-    Padding triangles get all-zero matrices (d'_z == 0 -> never hit).
+    Padding triangles get all-zero matrices (dp_s == 0 -> never hit).
     """
-    t = accel.w.shape[0]
+    t = accel.w.shape[1]
     c = -(-t // tri_chunk)
-    w = jnp.pad(accel.w, ((0, c * tri_chunk - t), (0, 0), (0, 0)))
-    # (C, Tc, 3, 4) -> (C, 4, 3, Tc) -> (C, 4, 3*Tc) with x|y|z column blocks
-    w = w.reshape(c, tri_chunk, 3, 4).transpose(0, 3, 2, 1)
+    w = jnp.pad(accel.w, ((0, 0), (0, c * tri_chunk - t)))  # (12, C*Tc)
+    # (12, C, Tc) -> (C, 12, Tc); rows [4k + f] -> (C, 3(k), 4(f), Tc)
+    w = w.reshape(12, c, tri_chunk).transpose(1, 0, 2)
+    w = w.reshape(c, 3, 4, tri_chunk).transpose(0, 2, 1, 3)  # (C, 4, 3, Tc)
     w = w.reshape(c, 4, 3 * tri_chunk)
-    return WoopPallas(w=jax.lax.stop_gradient(w), num_triangles=t)
+    boxes = chunk_boxes(accel, tri_chunk, c)
+    return WoopPallas(
+        w=jax.lax.stop_gradient(w),
+        boxes=jax.lax.stop_gradient(boxes),
+        num_triangles=t,
+    )
 
 
-def _pair_hits(feat_o, feat_d, wm, tc, t_min, t_max_col):
-    """Shared hit math: (Rt, 4) rays x one chunk -> masked t (Rt, Tc)."""
-    po = jnp.dot(feat_o, wm, preferred_element_type=jnp.float32)
-    pd = jnp.dot(feat_d, wm, preferred_element_type=jnp.float32)
-    ox, oy, oz = po[:, :tc], po[:, tc : 2 * tc], po[:, 2 * tc :]
-    dx, dy, dz = pd[:, :tc], pd[:, tc : 2 * tc], pd[:, 2 * tc :]
-    dz_ok = jnp.abs(dz) > _DZ_EPS
-    t = jnp.where(dz_ok, -oz / jnp.where(dz_ok, dz, 1.0), MISS_T)
-    b1 = ox + t * dx
-    b2 = oy + t * dy
+def _tile_inv_dir(rays):
+    """Safe reciprocal direction rows (3 x (1, Rt)) from the packed rays."""
+
+    def inv(c):
+        return jnp.where(c < 0.0, -1.0, 1.0) / jnp.maximum(jnp.abs(c), 1e-18)
+
+    return inv(rays[4:5, :]), inv(rays[5:6, :]), inv(rays[6:7, :])
+
+
+def _tile_slab_mask(rays, invx, invy, invz, box_ref, c, t_min, t_far):
+    """Slab test of the whole ray tile against chunk ``c``'s AABB.
+
+    ``box_ref`` is the (C, 6) SMEM ref; ``t_far`` is a (1, Rt) row.  Padded
+    rays have direction 0 -> inv sign positive, huge magnitudes; their box
+    distances produce tn > tf, so they never pass.
+    """
+    ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    tx0 = (box_ref[c, 0] - ox) * invx
+    tx1 = (box_ref[c, 3] - ox) * invx
+    ty0 = (box_ref[c, 1] - oy) * invy
+    ty1 = (box_ref[c, 4] - oy) * invy
+    tz0 = (box_ref[c, 2] - oz) * invz
+    tz1 = (box_ref[c, 5] - oz) * invz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.minimum(jnp.maximum(tz0, tz1), t_far),
+    )
+    return tn <= tf
+
+
+def _pair_hits(rays, wm, tc, t_min, t_max_row):
+    """Shared hit math: one ray tile x one chunk -> masked t (Tc, Rt)."""
+    o_feat = rays[0:4, :]  # (4, Rt): ox, oy, oz, 1
+    d_feat = rays[4:8, :]  # (4, Rt): dx, dy, dz, 0
+    dims = (((0,), (0,)), ((), ()))
+    # precision=HIGHEST: the MXU's native bf16 passes lose ~16 mantissa bits,
+    # which the Woop affine (inverse matrices of sliver triangles) amplifies
+    # into wrong hit ids; HIGHEST forces the full-f32 multi-pass schedule.
+    po = jax.lax.dot_general(wm, o_feat, dims, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    pd = jax.lax.dot_general(wm, d_feat, dims, preferred_element_type=jnp.float32,
+                             precision=jax.lax.Precision.HIGHEST)
+    ob1, ob2, os_ = po[:tc], po[tc : 2 * tc], po[2 * tc :]
+    db1, db2, ds = pd[:tc], pd[tc : 2 * tc], pd[2 * tc :]
+    dz_ok = jnp.abs(ds) > _DZ_EPS
+    t = jnp.where(dz_ok, -os_ / jnp.where(dz_ok, ds, 1.0), MISS_T)
+    b1 = ob1 + t * db1
+    b2 = ob2 + t * db2
     valid = (
         dz_ok
         & (b1 >= -_BARY_EPS)
         & (b2 >= -_BARY_EPS)
         & (b1 + b2 <= 1.0 + _BARY_EPS)
         & (t > t_min)
-        & (t < t_max_col)
+        & (t < t_max_row)
     )
     return jnp.where(valid, t, MISS_T)
 
 
-def _closest_kernel(tc, num_chunks, t_min, o_ref, d_ref, w_ref, t_ref, id_ref):
-    feat_o = o_ref[...]
-    feat_d = d_ref[...]
-    rt = feat_o.shape[0]
-    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+def _closest_kernel(tc, num_chunks, t_min, rays_ref, w_ref, box_ref, t_ref, id_ref):
+    rays = rays_ref[...]  # (8, Rt)
+    rt = rays.shape[1]
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+    invx, invy, invz = _tile_inv_dir(rays)
 
     def body(c, carry):
-        best_t, best_id = carry  # (Rt, 1) each
-        tm = _pair_hits(feat_o, feat_d, w_ref[c], tc, t_min, MISS_T)
-        row_min = jnp.min(tm, axis=1, keepdims=True)  # (Rt, 1)
-        # Lane (triangle-within-chunk) achieving the min; BIG if none.
-        lane = jnp.min(
-            jnp.where(tm <= row_min, lane_ids, jnp.int32(2**30)),
-            axis=1,
-            keepdims=True,
-        )
-        improved = row_min < best_t
-        best_id = jnp.where(improved, c * tc + lane, best_id)
-        best_t = jnp.where(improved, row_min, best_t)
-        return best_t, best_id
+        def hit_chunk(carry):
+            best_t, best_id = carry  # (1, Rt) each
+            tm = _pair_hits(rays, w_ref[c], tc, t_min, MISS_T)
+            col_min = jnp.min(tm, axis=0, keepdims=True)  # (1, Rt)
+            # Sublane (triangle-within-chunk) achieving the min; BIG if none.
+            tri = jnp.min(
+                jnp.where(tm <= col_min, sub_ids, jnp.int32(2**30)),
+                axis=0,
+                keepdims=True,
+            )
+            improved = col_min < best_t
+            best_id = jnp.where(improved, c * tc + tri, best_id)
+            best_t = jnp.where(improved, col_min, best_t)
+            return best_t, best_id
+
+        # Cluster cull: skip the chunk's triangle math when no ray's live
+        # [t_min, best_t] interval overlaps its AABB.
+        overlap = _tile_slab_mask(rays, invx, invy, invz, box_ref, c, t_min, carry[0])
+        return jax.lax.cond(jnp.any(overlap), hit_chunk, lambda x: x, carry)
 
     init = (
-        jnp.full((rt, 1), MISS_T, jnp.float32),
-        jnp.full((rt, 1), -1, jnp.int32),
+        jnp.full((1, rt), MISS_T, jnp.float32),
+        jnp.full((1, rt), -1, jnp.int32),
     )
     best_t, best_id = jax.lax.fori_loop(0, num_chunks, body, init)
     t_ref[...] = best_t
     id_ref[...] = best_id
 
 
-def _any_kernel(tc, num_chunks, t_min, o_ref, d_ref, tmax_ref, w_ref, hit_ref):
-    feat_o = o_ref[...]
-    feat_d = d_ref[...]
-    t_max = tmax_ref[...]  # (Rt, 1), broadcasts over lanes
-    rt = feat_o.shape[0]
+def _any_kernel(tc, num_chunks, t_min, rays_ref, tmax_ref, w_ref, box_ref, hit_ref):
+    rays = rays_ref[...]
+    t_max = tmax_ref[...]  # (1, Rt), broadcasts over sublanes
+    rt = rays.shape[1]
+    invx, invy, invz = _tile_inv_dir(rays)
 
     # Carry the running min-t (f32) instead of a bool mask — Mosaic's
     # loop-carried i1 vectors miscompile at this shape.
     def body(c, min_t):
-        tm = _pair_hits(feat_o, feat_d, w_ref[c], tc, t_min, t_max)
-        return jnp.minimum(min_t, jnp.min(tm, axis=1, keepdims=True))
+        def hit_chunk(min_t):
+            tm = _pair_hits(rays, w_ref[c], tc, t_min, t_max)
+            return jnp.minimum(min_t, jnp.min(tm, axis=0, keepdims=True))
+
+        # Only rays not yet blocked keep the chunk live.
+        live = (min_t >= MISS_T) & _tile_slab_mask(
+            rays, invx, invy, invz, box_ref, c, t_min, t_max
+        )
+        return jax.lax.cond(jnp.any(live), hit_chunk, lambda x: x, min_t)
 
     min_t = jax.lax.fori_loop(
-        0, num_chunks, body, jnp.full((rt, 1), MISS_T, jnp.float32)
+        0, num_chunks, body, jnp.full((1, rt), MISS_T, jnp.float32)
     )
     hit_ref[...] = (min_t < MISS_T).astype(jnp.int32)
 
 
-def _ray_feats_padded(origins, directions, ray_tile):
-    r = origins.shape[0]
+def _pack_rays(origins: Vec3, directions: Vec3, ray_tile: int):
+    """Build the planar (8, R') ray array (padded to a tile multiple)."""
+    r = origins.x.shape[0]
     n_tiles = -(-r // ray_tile)
     pad = n_tiles * ray_tile - r
-    ones = jnp.ones((r, 1), jnp.float32)
-    zeros = jnp.zeros((r, 1), jnp.float32)
-    o_feat = jnp.concatenate([origins, ones], axis=-1)
-    d_feat = jnp.concatenate([directions, zeros], axis=-1)
+    ones = jnp.ones((r,), jnp.float32)
+    zeros = jnp.zeros((r,), jnp.float32)
+    rays = jnp.stack(
+        [
+            origins.x, origins.y, origins.z, ones,
+            # Padded rays get zero directions -> dp_s == 0 -> never hit.
+            directions.x, directions.y, directions.z, zeros,
+        ],
+        axis=0,
+    )
     if pad:
-        o_feat = jnp.pad(o_feat, ((0, pad), (0, 0)))
-        # Padded rays get zero directions -> d'_z == 0 -> never hit.
-        d_feat = jnp.pad(d_feat, ((0, pad), (0, 0)))
-    o_feat = jax.lax.stop_gradient(o_feat)
-    d_feat = jax.lax.stop_gradient(d_feat)
-    return o_feat, d_feat, n_tiles, r
+        rays = jnp.pad(rays, ((0, 0), (0, pad)))
+    return jax.lax.stop_gradient(rays), n_tiles, r
 
 
-def _feat_spec(ray_tile):
-    return pl.BlockSpec((ray_tile, 4), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _rays_spec(ray_tile):
+    return pl.BlockSpec((8, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
-def _col_spec(ray_tile):
-    return pl.BlockSpec((ray_tile, 1), lambda i: (i, 0), memory_space=pltpu.VMEM)
+def _row_spec(ray_tile):
+    return pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
 @functools.partial(jax.jit, static_argnames=("ray_tile", "t_min"))
 def intersect_closest_pallas(
     packed: WoopPallas,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
+    origins: Vec3,
+    directions: Vec3,
     t_min: float = 1e-4,
     ray_tile: int = RAY_TILE,
 ):
     """Closest-hit via the fused kernel.  Returns (t, tri_id, hit)."""
     tc = packed.w.shape[2] // 3
     c = packed.num_chunks
-    o_feat, d_feat, n_tiles, r = _ray_feats_padded(origins, directions, ray_tile)
+    rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
 
     kernel = functools.partial(_closest_kernel, tc, c, t_min)
     best_t, best_id = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            _feat_spec(ray_tile),
-            _feat_spec(ray_tile),
+            _rays_spec(ray_tile),
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole w
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk AABBs
         ],
-        out_specs=(_col_spec(ray_tile), _col_spec(ray_tile)),
+        out_specs=(_row_spec(ray_tile), _row_spec(ray_tile)),
         out_shape=(
-            jax.ShapeDtypeStruct((n_tiles * ray_tile, 1), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles * ray_tile, 1), jnp.int32),
+            jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(n_tiles) * int(c) * ray_tile * (2 * 4 * 3 * tc * 2 + 10 * tc),
             bytes_accessed=int(n_tiles) * (ray_tile * 32) + int(c) * 4 * 3 * tc * 4,
             transcendentals=0,
         ),
-    )(o_feat, d_feat, packed.w)
+    )(rays, packed.w, packed.boxes)
 
-    best_t = best_t[:r, 0]
-    best_id = best_id[:r, 0]
+    best_t = best_t[0, :r]
+    best_id = best_id[0, :r]
     hit = (best_id >= 0) & (best_id < packed.num_triangles)
     best_id = jnp.where(hit, best_id, -1)
     return jnp.where(hit, best_t, MISS_T), best_id, hit
@@ -199,8 +271,8 @@ def intersect_closest_pallas(
 @functools.partial(jax.jit, static_argnames=("ray_tile", "t_min"))
 def intersect_any_pallas(
     packed: WoopPallas,
-    origins: jnp.ndarray,
-    directions: jnp.ndarray,
+    origins: Vec3,
+    directions: Vec3,
     t_min: float = 1e-4,
     t_max=3.0e37,
     ray_tile: int = RAY_TILE,
@@ -208,21 +280,23 @@ def intersect_any_pallas(
     """Any-hit (occlusion) via the fused kernel.  Returns blocked (R,) bool."""
     tc = packed.w.shape[2] // 3
     c = packed.num_chunks
-    o_feat, d_feat, n_tiles, r = _ray_feats_padded(origins, directions, ray_tile)
-    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
-    t_max = jnp.pad(t_max, (0, n_tiles * ray_tile - r))[:, None]  # (R', 1)
+    rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
+    # Occlusion is piecewise-constant: no gradient may reach the kernel
+    # (pallas_call has no AD rule; visibility is detached by design).
+    t_max = jax.lax.stop_gradient(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)))
+    t_max = jnp.pad(t_max, (0, n_tiles * ray_tile - r))[None, :]  # (1, R')
 
     kernel = functools.partial(_any_kernel, tc, c, t_min)
     blocked = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
         in_specs=[
-            _feat_spec(ray_tile),
-            _feat_spec(ray_tile),
-            _col_spec(ray_tile),
+            _rays_spec(ray_tile),
+            _row_spec(ray_tile),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # chunk AABBs
         ],
-        out_specs=_col_spec(ray_tile),
-        out_shape=jax.ShapeDtypeStruct((n_tiles * ray_tile, 1), jnp.int32),
-    )(o_feat, d_feat, t_max, packed.w)
-    return blocked[:r, 0] > 0
+        out_specs=_row_spec(ray_tile),
+        out_shape=jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
+    )(rays, t_max, packed.w, packed.boxes)
+    return blocked[0, :r] > 0

@@ -32,10 +32,20 @@ from ..scene.scene import Scene
 
 
 def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
-    """1D device mesh over the first ``n_devices`` devices."""
+    """1D device mesh over the first ``n_devices`` devices.
+
+    If the default platform has fewer than ``n_devices`` devices (e.g. a
+    single remote-TPU tunnel while the test harness forces N virtual CPU
+    devices), fall back to the CPU backend's devices.
+    """
     devices = jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices:
+        devices = jax.devices("cpu")
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}"
+    )
     return Mesh(np.asarray(devices[:n_devices]), (axis,))
 
 
@@ -44,8 +54,10 @@ def shard_context(ctx: RenderContext, mesh: Mesh, axis: str = "dp") -> RenderCon
     row = NamedSharding(mesh, P(axis))
     rep = NamedSharding(mesh, P())
     tables = ctx.tables.replace(
-        sequences=jax.device_put(ctx.tables.sequences, rep),
-        aperture=jax.device_put(ctx.tables.aperture, rep),
+        seq_u=jax.device_put(ctx.tables.seq_u, rep),
+        seq_v=jax.device_put(ctx.tables.seq_v, rep),
+        aperture_u=jax.device_put(ctx.tables.aperture_u, rep),
+        aperture_v=jax.device_put(ctx.tables.aperture_v, rep),
         pixel_sequence_id=jax.device_put(ctx.tables.pixel_sequence_id, row),
         pixel_sequence_offset=jax.device_put(
             ctx.tables.pixel_sequence_offset, row
@@ -60,10 +72,10 @@ def replicate(tree, mesh: Mesh):
 
 
 def sharded_accum(options: RenderOptions, mesh: Mesh, axis: str = "dp"):
-    """Zero accumulation buffer sharded by image rows."""
+    """Zero planar (4, H, W) accumulation buffer sharded by image rows."""
     return jax.device_put(
-        jnp.zeros((options.height, options.width, 4), jnp.float32),
-        NamedSharding(mesh, P(axis)),
+        jnp.zeros((4, options.height, options.width), jnp.float32),
+        NamedSharding(mesh, P(None, axis)),
     )
 
 
@@ -118,14 +130,18 @@ def make_sharded_train_step(
     scene = replicate(scene, mesh)
     camera = replicate(camera, mesh)
     ctx = shard_context(ctx, mesh, axis)
-    target = jax.device_put(target, NamedSharding(mesh, P(axis)))
+    # Target arrives (H, W, 3); store planar (3, H, W) row-sharded to match
+    # the accumulation layout.
+    target = jnp.transpose(jnp.asarray(target, jnp.float32), (2, 0, 1))
+    target = jax.device_put(target, NamedSharding(mesh, P(None, axis)))
     accum0 = sharded_accum(options, mesh, axis)
 
     def loss_fn(params, sample_index):
         s = apply_material_params(scene, params)
         frame = FrameGlobals.create(sample_index)
         accum = render_pass(s, camera, ctx, options, frame, accum0)
-        return jnp.mean((resolve(accum) - target) ** 2)
+        img = accum[:3] / jnp.maximum(accum[3:], 1.0)
+        return jnp.mean((img - target) ** 2)
 
     @jax.jit
     def step_fn(params, opt_state, sample_index):

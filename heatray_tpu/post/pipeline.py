@@ -108,12 +108,14 @@ def glsl_smoothstep(e0, e1, x):
 def apply_post_pipeline(
     accum: jnp.ndarray, params: PostProcessingParams | None = None
 ) -> jnp.ndarray:
-    """(H, W, 4) accumulation buffer -> (H, W, 3) sRGB display image in
-    [0, 1], row 0 = image bottom (flip on save)."""
+    """Planar (4, H, W) accumulation buffer -> (H, W, 3) sRGB display image
+    in [0, 1], row 0 = image bottom (flip on save)."""
     if params is None:
         params = PostProcessingParams()
-    h, w = accum.shape[0], accum.shape[1]
-    color = accum[..., :3] / jnp.maximum(accum[..., 3:4], 1e-10)
+    h, w = accum.shape[1], accum.shape[2]
+    color = jnp.transpose(
+        accum[:3] / jnp.maximum(accum[3:], 1e-10), (1, 2, 0)
+    )
 
     if params.tonemapping_enabled:
         color = aces_tonemap(color)

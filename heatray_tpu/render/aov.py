@@ -4,7 +4,7 @@ Ports the reference's visualizer modes (``PassGenerator.h:123-141``, shader
 branches in ``physicallyBased.rlsl:159-203`` / ``glass.rlsl:179-211`` and the
 accumulator's NaN/Inf detectors ``accumulator.rlsl:16-21``).  Surface AOVs
 evaluate at the primary hit; NaN/Inf modes transform the main render's
-accumulated values instead (see integrator).
+accumulated values instead (see integrator).  All values are planar ``Vec3``.
 """
 
 from __future__ import annotations
@@ -14,8 +14,8 @@ import jax.numpy as jnp
 from ..options import AOV
 from ..scene.materials import KIND_GLASS
 from ..scene.scene import Scene
-from .onb import normalize
-from .shade import _gather, _interp
+from ..vec import Vec3
+from .shade import _gather, gather_vec, interp_attr, interp_vec
 
 SURFACE_AOVS = {
     AOV.GEOMETRIC_NORMALS,
@@ -36,9 +36,9 @@ ACCUM_AOVS = {AOV.NANS, AOV.INFS}
 
 
 def compute_surface_aov(
-    scene: Scene, mode: AOV, ray_dir, b1, b2, tid, front, hit
-):
-    """(R, 3) AOV color at the primary hit (zero on miss)."""
+    scene: Scene, mode: AOV, ray_dir: Vec3, b1, b2, tid, front, hit
+) -> Vec3:
+    """Vec3 AOV color at the primary hit (zero on miss)."""
     geom = scene.geometry
     mats = scene.materials
     safe_tid = jnp.maximum(tid, 0)
@@ -48,57 +48,57 @@ def compute_surface_aov(
     is_glass = kind == KIND_GLASS
 
     if mode == AOV.GEOMETRIC_NORMALS:
-        n = normalize(_interp(geom.normals, geom.indices, safe_tid, w0, b1, b2))
+        n = interp_vec(geom.normals, geom.indices, safe_tid, w0, b1, b2).normalized()
         value = (n + 1.0) * 0.5
     elif mode == AOV.FINAL_NORMALS:
-        n = normalize(_interp(geom.normals, geom.indices, safe_tid, w0, b1, b2))
+        n = interp_vec(geom.normals, geom.indices, safe_tid, w0, b1, b2).normalized()
         double_sided = (_gather(mats.double_sided, mid) > 0) | is_glass
         flip = (~front) & double_sided
-        n = jnp.where(flip[:, None], -n, n)
+        n = Vec3.where(flip, -n, n)
         value = (n + 1.0) * 0.5
     elif mode == AOV.UVS:
-        uv = _interp(geom.uvs, geom.indices, safe_tid, w0, b1, b2)
-        value = jnp.concatenate([uv, jnp.zeros_like(uv[:, :1])], axis=-1)
+        u = interp_attr(geom.uvs[0], geom.indices, safe_tid, w0, b1, b2)
+        v = interp_attr(geom.uvs[1], geom.indices, safe_tid, w0, b1, b2)
+        value = Vec3(u, v, jnp.zeros_like(u))
     elif mode == AOV.TANGENTS:
-        t = normalize(_interp(geom.tangents, geom.indices, safe_tid, w0, b1, b2))
+        t = interp_vec(geom.tangents, geom.indices, safe_tid, w0, b1, b2).normalized()
         value = (t + 1.0) * 0.5
     elif mode == AOV.BITANGENTS:
-        t = normalize(_interp(geom.bitangents, geom.indices, safe_tid, w0, b1, b2))
+        t = interp_vec(
+            geom.bitangents, geom.indices, safe_tid, w0, b1, b2
+        ).normalized()
         value = (t + 1.0) * 0.5
     elif mode == AOV.BASE_COLOR:
-        vc = _interp(geom.colors, geom.indices, safe_tid, w0, b1, b2)
-        value = _gather(mats.base_color, mid) * vc
+        vc = interp_vec(geom.colors, geom.indices, safe_tid, w0, b1, b2)
+        value = gather_vec(mats.base_color, mid) * vc
     elif mode == AOV.EMISSIVE:
-        value = _gather(mats.emissive, mid)
+        value = gather_vec(mats.emissive, mid)
     elif mode == AOV.ROUGHNESS:
-        value = jnp.repeat(_gather(mats.roughness, mid)[:, None], 3, axis=-1)
+        value = Vec3.splat(_gather(mats.roughness, mid))
     elif mode == AOV.METALLIC:
-        value = jnp.repeat(_gather(mats.metallic, mid)[:, None], 3, axis=-1)
+        value = Vec3.splat(_gather(mats.metallic, mid))
     elif mode == AOV.CLEARCOAT:
         # The reference shows the raw (conditioned) clearcoat scalar.
-        value = jnp.repeat(_gather(mats.clearcoat, mid)[:, None], 3, axis=-1)
+        value = Vec3.splat(_gather(mats.clearcoat, mid))
     elif mode == AOV.CLEARCOAT_ROUGHNESS:
-        value = jnp.repeat(
-            _gather(mats.clearcoat_roughness, mid)[:, None], 3, axis=-1
-        )
+        value = Vec3.splat(_gather(mats.clearcoat_roughness, mid))
     elif mode == AOV.SHADER:
         # PBR = red, glass = green (``physicallyBased.rlsl:195``,
         # ``glass.rlsl:191``).
-        red = jnp.array([1.0, 0.0, 0.0])
-        green = jnp.array([0.0, 1.0, 0.0])
-        value = jnp.where(is_glass[:, None], green, red)
+        g = jnp.where(is_glass, 1.0, 0.0)
+        value = Vec3(1.0 - g, g, jnp.zeros_like(g))
     else:
         raise ValueError(f"not a surface AOV: {mode}")
-    return jnp.where(hit[:, None], value, 0.0)
+    return Vec3.where(hit, value, 0.0)
 
 
-def accum_visualize(mode: AOV, color):
+def accum_visualize(mode: AOV, color: Vec3) -> Vec3:
     """NaN/Inf accumulator visualizers (``accumulator.rlsl:16-21``):
     offending samples show as 100, everything else dims to min(c,1)*0.1."""
     if mode == AOV.NANS:
-        bad = jnp.any(jnp.isnan(color), axis=-1, keepdims=True)
+        bad = color.isnan()
     elif mode == AOV.INFS:
-        bad = jnp.any(jnp.isinf(color), axis=-1, keepdims=True)
+        bad = color.isinf()
     else:
         raise ValueError(f"not an accumulator AOV: {mode}")
-    return jnp.where(bad, 100.0, jnp.minimum(color, 1.0) * 0.1)
+    return Vec3.where(bad, 100.0, color.minimum(1.0) * 0.1)

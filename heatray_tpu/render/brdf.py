@@ -33,7 +33,7 @@ def f_fresnel(eta, cos_theta_i):
     (total internal reflection).
     """
     sin_theta_t2 = square(eta) * (1.0 - square(cos_theta_i))
-    cos_theta_t = jnp.sqrt(jnp.maximum(1.0 - sin_theta_t2, 0.0))
+    cos_theta_t = jnp.sqrt(jnp.maximum(1.0 - sin_theta_t2, 1e-12))
     perp = square(
         (eta * cos_theta_i - cos_theta_t)
         / greater_than_zero(eta * cos_theta_i + cos_theta_t)
@@ -84,34 +84,35 @@ def lambertian(c_diff):
 
 def hammon_diffuse(l_dot_v, n_dot_h, n_dot_v, n_dot_l, c_diff, c_spec, alpha):
     """Hammon's GGX-consistent diffuse (``brdfs.rlsl:11-24``), including the
-    reference's energy-conservation fix (the ``1 - Cspec`` factor)."""
+    reference's energy-conservation fix (the ``1 - Cspec`` factor).
+    ``c_diff``/``c_spec`` are Vec3, the rest are (R,) scalars."""
     facing = 0.5 + 0.5 * l_dot_v
     rough = facing * (0.9 - 0.4 * facing) * ((0.5 + n_dot_h) / greater_than_zero(n_dot_h))
     smooth = 1.05 * (1.0 - pow5(1.0 - n_dot_l)) * (1.0 - pow5(1.0 - n_dot_v))
     single = ONE_OVER_PI * (smooth + (rough - smooth) * alpha)
     multi = 0.1159 * alpha
-    return c_diff * (single[..., None] * (1.0 - c_spec) + c_diff * multi[..., None])
+    return c_diff * ((1.0 - c_spec) * single + c_diff * multi)
 
 
 def oren_nayar_diffuse(c_diff, roughness_sq, n, i, o):
     """Oren-Nayar without the 1/pi (cancelled against the cosine PDF),
-    ``brdfs.rlsl:31-44``."""
-    n_dot_i = saturate(jnp.sum(n * i, axis=-1))
-    n_dot_o = saturate(jnp.sum(n * o, axis=-1))
+    ``brdfs.rlsl:31-44``.  ``n``/``i``/``o`` are Vec3."""
+    n_dot_i = saturate(n.dot(i))
+    n_dot_o = saturate(n.dot(o))
     a = 1.0 - 0.5 * (roughness_sq / (roughness_sq + 0.33))
     b = (0.45 * roughness_sq) / (roughness_sq + 0.09)
 
     def _proj(v, ndv):
-        p = v - ndv[..., None] * n
-        return p / greater_than_zero(jnp.linalg.norm(p, axis=-1, keepdims=True))
+        p = v - n * ndv
+        return p * (1.0 / greater_than_zero(p.norm()))
 
-    cos_phi = jnp.sum(_proj(i, n_dot_i) * _proj(o, n_dot_o), axis=-1)
-    sin_ni = jnp.sqrt(jnp.maximum(1.0 - square(n_dot_i), 0.0))
-    sin_no = jnp.sqrt(jnp.maximum(1.0 - square(n_dot_o), 0.0))
+    cos_phi = _proj(i, n_dot_i).dot(_proj(o, n_dot_o))
+    sin_ni = jnp.sqrt(jnp.maximum(1.0 - square(n_dot_i), 1e-12))
+    sin_no = jnp.sqrt(jnp.maximum(1.0 - square(n_dot_o), 1e-12))
     s = jnp.where(n_dot_i < n_dot_o, sin_ni, sin_no)
     t = jnp.where(
         n_dot_i > n_dot_o,
         sin_ni / greater_than_zero(n_dot_i),
         sin_no / greater_than_zero(n_dot_o),
     )
-    return c_diff * (a + b * cos_phi * s * t)[..., None]
+    return c_diff * (a + b * cos_phi * s * t)

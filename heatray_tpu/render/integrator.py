@@ -4,9 +4,10 @@ TPU-native replacement for OpenRL's per-pass device dispatch
 (``PassGenerator::runRenderFrameJob``, ``rlRenderFrame``): one jitted pure
 function per progressive pass.  Per pass every pixel traces one camera ray
 (``perspective.rlsl``); a ``lax.scan`` over bounce depth intersects, shades
-(NEE shadow ray + extension ray, ``shade.py``) and accumulates into an
-(H, W, 4) buffer whose alpha channel counts passes per pixel
-(``PixelPackBuffer.h:44``, ``displayGL.frag:76-78``).
+(NEE shadow ray + extension ray, ``shade.py``) and accumulates into a planar
+``(4, H, W)`` buffer whose channel 3 counts passes per pixel
+(``PixelPackBuffer.h:44``, ``displayGL.frag:76-78``).  All per-ray state is
+planar — flat (R,) scalars and ``Vec3`` of them (see ``heatray_tpu.vec``).
 
 Image convention: row 0 is the BOTTOM of the image (OpenRL's frame
 coordinate convention, ``perspective.rlsl:73``); io_utils flips on save.
@@ -24,6 +25,7 @@ from ..camera import CameraParams
 from ..options import AOV, FrameGlobals, RenderOptions
 from ..ops.intersect import (
     build_woop,
+    gather_geo_normal,
     hit_attributes,
     intersect_any,
     intersect_closest,
@@ -40,9 +42,9 @@ from ..sampling.tables import (
     get_sequence_value,
 )
 from ..scene.scene import Scene
+from ..vec import Vec3
 from .envmap import env_radiance
 from .multiscatter import multiscatter_lut_jnp
-from .onb import normalize
 from .shade import shade_hits
 
 
@@ -51,7 +53,7 @@ class RenderContext:
     """Per-configuration constant data (a pytree): QMC tables + LUTs."""
 
     tables: SampleTables
-    ms_lut: jnp.ndarray  # (128, 128, 1) multiscatter LUT
+    ms_lut: jnp.ndarray  # (128, 128) multiscatter LUT
 
 
 def make_context(options: RenderOptions) -> RenderContext:
@@ -64,6 +66,15 @@ def make_context(options: RenderOptions) -> RenderContext:
             bokeh_shape=options.bokeh_shape,
         ),
         ms_lut=multiscatter_lut_jnp(),
+    )
+
+
+def _mat3_apply(m, v: Vec3) -> Vec3:
+    """Apply the upper-left 3x3 of a (4, 4) matrix to a planar Vec3."""
+    return Vec3(
+        m[0, 0] * v.x + m[0, 1] * v.y + m[0, 2] * v.z,
+        m[1, 0] * v.x + m[1, 1] * v.y + m[1, 2] * v.z,
+        m[2, 0] * v.x + m[2, 1] * v.y + m[2, 2] * v.z,
     )
 
 
@@ -82,35 +93,37 @@ def generate_primary_rays(
     px = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
     py = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
 
-    jitter = get_sequence_value(tables, seq_id, sample_index + seq_off)
-    u = (px + jitter[:, 0]) / w
-    v = (py + jitter[:, 1]) / h
+    ju, jv = get_sequence_value(tables, seq_id, sample_index + seq_off)
+    u = (px + ju) / w
+    v = (py + jv) / h
 
     # Image-plane direction in camera space (1 unit in front of the camera).
     # ``perspective.rlsl:72-74``: y = (1 - 2v) * fovTan * -1 — row 0 is the
     # image bottom.
     x = (2.0 * u - 1.0) * camera.aspect * camera.fov_tan
     y = (1.0 - 2.0 * v) * camera.fov_tan * -1.0
-    dir_cam = normalize(jnp.stack([x, y, -jnp.ones_like(x)], axis=-1))
+    dir_cam = Vec3(x, y, -jnp.ones_like(x)).normalized()
 
-    focal_point = camera.focus_distance * dir_cam
-    ap = get_aperture_sample(tables, seq_id, sample_index)
-    ap = (ap * 2.0 - 1.0) * camera.aperture_radius
-    origin_cam = jnp.concatenate([ap, jnp.zeros((ap.shape[0], 1))], axis=-1)
+    focal_point = dir_cam * camera.focus_distance
+    au, av = get_aperture_sample(tables, seq_id, sample_index)
+    origin_cam = Vec3(
+        (au * 2.0 - 1.0) * camera.aperture_radius,
+        (av * 2.0 - 1.0) * camera.aperture_radius,
+        jnp.zeros_like(au),
+    )
     d_cam = focal_point - origin_cam
 
-    rot = camera.view_matrix[:3, :3]
-    trans = camera.view_matrix[:3, 3]
-    org = origin_cam @ rot.T + trans
-    direction = normalize(d_cam @ rot.T)
+    m = camera.view_matrix
+    org = _mat3_apply(m, origin_cam) + Vec3(m[0, 3], m[1, 3], m[2, 3])
+    direction = _mat3_apply(m, d_cam).normalized()
     return org, direction, seq_id, seq_off
 
 
-def _offset_origin(p, geo_n, direction, eps):
+def _offset_origin(p: Vec3, geo_n: Vec3, direction: Vec3, eps) -> Vec3:
     """Offset a secondary-ray origin off the surface along the geometric
     normal (signed toward the ray direction's side)."""
-    sign = jnp.where(jnp.sum(geo_n * direction, axis=-1) >= 0.0, 1.0, -1.0)
-    return p + geo_n * (sign * eps)[:, None]
+    sign = jnp.where(geo_n.dot(direction) >= 0.0, 1.0, -1.0)
+    return p + geo_n * (sign * eps)
 
 
 def _use_pallas(options: RenderOptions, num_triangles: int) -> bool:
@@ -126,17 +139,16 @@ def _use_pallas(options: RenderOptions, num_triangles: int) -> bool:
 
 def _make_intersectors(accel, options: RenderOptions):
     """Returns (closest, any) callables with a uniform signature."""
-    if _use_pallas(options, accel.w.shape[0]):
+    if _use_pallas(options, accel.w.shape[1]):
         packed = pack_for_pallas(accel)
-        geo_n = accel.geo_normal
 
         def closest(org, direction, t_min):
             t, tid, hit = intersect_closest_pallas(
                 packed, org, direction, t_min=t_min
             )
             # Front-facing = approaching against the geometric normal.
-            n = jnp.take(geo_n, jnp.maximum(tid, 0), axis=0)
-            front = jnp.sum(direction * n, axis=-1) < 0.0
+            n = gather_geo_normal(accel, tid)
+            front = direction.dot(n) < 0.0
             return t, tid, front, hit
 
         def any_hit(org, direction, t_min, t_max):
@@ -161,6 +173,20 @@ def _make_intersectors(accel, options: RenderOptions):
     return closest, any_hit
 
 
+def _accum_update(contrib: Vec3, h: int, w: int) -> jnp.ndarray:
+    """Flat per-pixel contribution -> planar (4, H, W) update (channel 3 = 1
+    pass per pixel)."""
+    return jnp.stack(
+        [
+            contrib.x.reshape(h, w),
+            contrib.y.reshape(h, w),
+            contrib.z.reshape(h, w),
+            jnp.ones((h, w), jnp.float32),
+        ],
+        axis=0,
+    )
+
+
 @functools.partial(jax.jit, static_argnames=("options", "with_stats"))
 def render_pass(
     scene: Scene,
@@ -171,7 +197,7 @@ def render_pass(
     accum: jnp.ndarray,
     with_stats: bool = False,
 ) -> jnp.ndarray:
-    """Trace one progressive pass and accumulate into ``accum`` (H, W, 4).
+    """Trace one progressive pass and accumulate into ``accum`` (4, H, W).
 
     With ``with_stats=True`` returns ``(accum, stats)`` where stats counts
     the traced rays (primary + per-bounce extension and shadow rays) — the
@@ -185,11 +211,11 @@ def render_pass(
     org, direction, seq_id, seq_off = generate_primary_rays(
         camera, ctx.tables, options, frame.sample_index
     )
-    r = org.shape[0]
-    weight = jnp.ones((r, 3), jnp.float32)
+    r = org.x.shape[0]
+    weight = Vec3.ones((r,))
     env_on_miss = jnp.ones((r,), bool)  # camera rays see the env on miss
     active = jnp.ones((r,), bool)
-    contrib = jnp.zeros((r, 3), jnp.float32)
+    contrib = Vec3.zeros((r,))
 
     # Surface-attribute AOVs short-circuit after the primary hit
     # (``physicallyBased.rlsl:159-203``).
@@ -201,9 +227,7 @@ def render_pass(
         value = compute_surface_aov(
             scene, options.aov, direction, b1, b2, tid, front, hit
         )
-        update = jnp.concatenate(
-            [value, jnp.ones((r, 1), jnp.float32)], axis=-1
-        ).reshape(h, w, 4)
+        update = _accum_update(value, h, w)
         if with_stats:
             return accum + update, {"rays": jnp.int32(r)}
         return accum + update
@@ -213,7 +237,7 @@ def render_pass(
         # (``accumulator.rlsl:12-24``).
         clamp = lambda c: accum_visualize(options.aov, c)
     else:
-        clamp = lambda c: jnp.minimum(c, frame.max_channel_value)
+        clamp = lambda c: c.minimum(frame.max_channel_value)
 
     def bounce(carry, depth):
         org, direction, weight, env_on_miss, active, contrib, ray_count = carry
@@ -225,7 +249,7 @@ def render_pass(
         # env light — camera + glass-refraction rays).
         miss_env = active & (~hit) & env_on_miss & (scene.lights.env_enabled > 0)
         env_c = env_radiance(scene.lights, direction) * weight
-        contrib = contrib + jnp.where(miss_env[:, None], clamp(env_c), 0.0)
+        contrib = contrib + Vec3.where(miss_env, clamp(env_c), 0.0)
 
         # Differentiable hit attributes; sanitize t for dead lanes so no
         # NaN/Inf flows through the masked math.
@@ -255,8 +279,8 @@ def render_pass(
         )
         contrib = contrib + clamp(res.emission)
 
-        p = org + t_sane[:, None] * direction
-        geo_n = jnp.take(accel.geo_normal, jnp.maximum(tid, 0), axis=0)
+        p = org + direction * t_sane
+        geo_n = gather_geo_normal(accel, tid)
 
         # NEE shadow rays (occlusion query with per-ray maxT).
         s_org = _offset_origin(p, geo_n, res.shadow_dir, eps)
@@ -264,8 +288,8 @@ def render_pass(
             s_org, res.shadow_dir, eps, res.shadow_max_t - 2.0 * eps
         )
         lit = res.shadow_active & (~blocked)
-        contrib = contrib + jnp.where(
-            lit[:, None], clamp(res.shadow_weight * res.shadow_radiance), 0.0
+        contrib = contrib + Vec3.where(
+            lit, clamp(res.shadow_weight * res.shadow_radiance), 0.0
         )
 
         # Ray accounting: this bounce's closest-hit lanes + shadow lanes.
@@ -292,9 +316,7 @@ def render_pass(
     init = (org, direction, weight, env_on_miss, active, contrib, jnp.int32(0))
     (_, _, _, _, _, contrib, ray_count), _ = jax.lax.scan(bounce, init, depths)
 
-    update = jnp.concatenate(
-        [contrib, jnp.ones((r, 1), jnp.float32)], axis=-1
-    ).reshape(h, w, 4)
+    update = _accum_update(contrib, h, w)
     if with_stats:
         return accum + update, {"rays": ray_count}
     return accum + update
@@ -313,15 +335,16 @@ def render(
     """Progressive render: ``num_passes`` passes (host loop over the jitted
     pass function, the analog of ``PassGenerator``'s offline mode).
 
-    Returns (accum, ctx); ``accum[..., :3] / accum[..., 3:]`` is the linear
-    image.  Pass ``accum``/``start_pass`` to resume (checkpoint/restart).
+    Returns (accum, ctx); ``accum`` is planar (4, H, W) — ``resolve(accum)``
+    is the linear (H, W, 3) image.  Pass ``accum``/``start_pass`` to resume
+    (checkpoint/restart).
     """
     if ctx is None:
         ctx = make_context(options)
     if num_passes is None:
         num_passes = options.max_render_passes
     if accum is None:
-        accum = jnp.zeros((options.height, options.width, 4), jnp.float32)
+        accum = jnp.zeros((4, options.height, options.width), jnp.float32)
     for i in range(start_pass, start_pass + num_passes):
         frame = FrameGlobals.create(
             sample_index=i, max_channel_value=max_channel_value
@@ -331,6 +354,7 @@ def render(
 
 
 def resolve(accum: jnp.ndarray) -> jnp.ndarray:
-    """Accumulation buffer -> linear image (divide by per-pixel pass count,
-    ``displayGL.frag:76-78``)."""
-    return accum[..., :3] / jnp.maximum(accum[..., 3:], 1.0)
+    """Planar (4, H, W) accumulation buffer -> (H, W, 3) linear image
+    (divide by per-pixel pass count, ``displayGL.frag:76-78``)."""
+    img = accum[:3] / jnp.maximum(accum[3:], 1.0)
+    return jnp.transpose(img, (1, 2, 0))

@@ -9,8 +9,10 @@ shading point, every light gets an importance
                                                ``lightSampling.rlsl:74-79``)
 
 importances normalize into a CDF and the ray's light-select random walks it.
-Instead of the RLSL early-return loops we build the (R, 16) importance matrix
-and take the first eligible CDF entry; the environment is the fall-through
+Instead of the RLSL early-return loops we build a **slot-major** (S, R)
+importance matrix (slots on sublanes, rays on lanes — the TPU-friendly
+layout; an (R, S) matrix would pad S to 128 lanes) and take the first
+eligible CDF entry; the environment is the fall-through
 (``lightSampling.rlsl:158-160``).
 """
 
@@ -29,7 +31,8 @@ from ..scene.lights import (
     MAX_SPOT_LIGHTS,
     LightBank,
 )
-from .onb import greater_than_zero, luminosity, normalize, saturate
+from ..vec import Vec3
+from .onb import greater_than_zero, saturate
 
 _ND = MAX_DIRECTIONAL_LIGHTS
 _NP = MAX_POINT_LIGHTS
@@ -40,79 +43,93 @@ NUM_SLOTS = _ND + _NP + _NS  # punctual slots; env is the fall-through
 def glsl_smoothstep(edge0, edge1, x):
     """GLSL smoothstep formula (used with edge0 > edge1 by the spot falloff,
     which GLSL leaves undefined but every driver computes this way)."""
-    t = jnp.clip((x - edge0) / jnp.where(jnp.abs(edge1 - edge0) > 1e-12, edge1 - edge0, 1e-12), 0.0, 1.0)
+    t = jnp.clip(
+        (x - edge0)
+        / jnp.where(jnp.abs(edge1 - edge0) > 1e-12, edge1 - edge0, 1e-12),
+        0.0,
+        1.0,
+    )
     return t * t * (3.0 - 2.0 * t)
 
 
 @struct.dataclass
 class LightSample:
-    """Per-ray light selection result (all (R,) / (R,3) arrays)."""
+    """Per-ray light selection result ((R,) arrays / Vec3s)."""
 
     light_type: jnp.ndarray  # i32: NONE/DIRECTIONAL/POINT/SPOT/ENVIRONMENT
-    direction: jnp.ndarray  # (R,3) toward the light (punctual/directional)
+    direction: Vec3  # toward the light (punctual/directional)
     probability: jnp.ndarray  # normalized selection probability of the chosen light
     max_distance: jnp.ndarray  # (R,) maxT for the shadow ray (inf for dir/env)
-    radiance: jnp.ndarray  # (R,3) light radiance along the shadow ray
+    radiance: Vec3  # light radiance along the shadow ray
 
 
-def _spot_cone_weight(lights: LightBank, to_light):
-    """Cone visibility/falloff terms of the spot importance
-    (``lightSampling.rlsl:60-65``).  ``to_light``: (R, S, 3) unit surface->light."""
-    ray_angle = jnp.sum(
-        lights.spot_direction[None] * (-to_light), axis=-1
-    )  # (R, S): cos between emission dir and light->surface
-    inner = lights.spot_cos_angles[None, :, 0]
-    outer = lights.spot_cos_angles[None, :, 1]
-    vis = jnp.where(ray_angle > 0.0, 1.0, 0.0) * jnp.where(
-        ray_angle < outer, 0.0, 1.0
-    )
-    falloff = 1.0 - glsl_smoothstep(inner, outer, ray_angle)
-    return vis * falloff, ray_angle
+def _lum_rows(colors):
+    """(S, 3) light colors -> (S, 1) luminosity column."""
+    return (
+        colors[:, 0] * 0.33 + colors[:, 1] * 0.59 + colors[:, 2] * 0.11
+    )[:, None]
 
 
 def compute_light_sample(
-    lights: LightBank, n: jnp.ndarray, p: jnp.ndarray, u: jnp.ndarray
+    lights: LightBank, n: Vec3, p: Vec3, u: jnp.ndarray
 ) -> LightSample:
     """Select one light per ray.
 
-    n: (R,3) shading normal; p: (R,3) shading point; u: (R,) selection random
-    (``lightProbability``).  Returns a LightSample; ``radiance`` already
-    includes distance attenuation and spot falloff so the caller only
+    n: shading normal (Vec3 of (R,)); p: shading point; u: (R,) selection
+    random (``lightProbability``).  Returns a LightSample; ``radiance``
+    already includes distance attenuation and spot falloff so the caller only
     multiplies by the shadow-ray weight when unoccluded.
+
+    All slot matrices are (S, R): slots on sublanes, rays on lanes.
     """
-    r = n.shape[0]
+    r = n.x.shape[0]
     inf = jnp.float32(3.0e38)
 
-    # --- Importances -----------------------------------------------------
-    active_d = (
-        jnp.arange(_ND)[None, :] < lights.num_directional
-    )  # (1, D) broadcastable
-    w_dir = (
-        saturate(jnp.einsum("rk,dk->rd", n, lights.dir_direction))
-        * luminosity(lights.dir_color)[None, :]
-    )
+    nx, ny, nz = n.x[None, :], n.y[None, :], n.z[None, :]  # (1, R)
+    px, py, pz = p.x[None, :], p.y[None, :], p.z[None, :]
+
+    # --- Directional slots (D, R) -----------------------------------------
+    dd = lights.dir_direction  # (D, 3) toward light
+    active_d = (jnp.arange(_ND) < lights.num_directional)[:, None]
+    ndl_d = dd[:, 0:1] * nx + dd[:, 1:2] * ny + dd[:, 2:3] * nz
+    w_dir = saturate(ndl_d) * _lum_rows(lights.dir_color)
     w_dir = jnp.where(active_d, w_dir, 0.0)
 
-    active_p = jnp.arange(_NP)[None, :] < lights.num_point
-    to_point = lights.point_position[None, :, :] - p[:, None, :]  # (R, P, 3)
-    point_dist = jnp.linalg.norm(to_point, axis=-1)
-    point_dir = to_point / greater_than_zero(point_dist)[..., None]
-    w_point = (
-        saturate(jnp.sum(n[:, None, :] * point_dir, axis=-1))
-        * luminosity(lights.point_color)[None, :]
-    )
+    # --- Point slots (P, R) ------------------------------------------------
+    pp = lights.point_position  # (P, 3)
+    active_p = (jnp.arange(_NP) < lights.num_point)[:, None]
+    tpx = pp[:, 0:1] - px
+    tpy = pp[:, 1:2] - py
+    tpz = pp[:, 2:3] - pz
+    point_dist = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
+    inv_pd = 1.0 / greater_than_zero(point_dist)
+    pdx, pdy, pdz = tpx * inv_pd, tpy * inv_pd, tpz * inv_pd
+    ndl_p = pdx * nx + pdy * ny + pdz * nz
+    w_point = saturate(ndl_p) * _lum_rows(lights.point_color)
     w_point = jnp.where(active_p, w_point, 0.0)
 
-    active_s = jnp.arange(_NS)[None, :] < lights.num_spot
-    to_spot = lights.spot_position[None, :, :] - p[:, None, :]
-    spot_dist = jnp.linalg.norm(to_spot, axis=-1)
-    spot_dir = to_spot / greater_than_zero(spot_dist)[..., None]
-    cone, ray_angle = _spot_cone_weight(lights, spot_dir)
-    w_spot = (
-        saturate(jnp.sum(n[:, None, :] * spot_dir, axis=-1))
-        * luminosity(lights.spot_color)[None, :]
-        * cone
+    # --- Spot slots (S, R) ---------------------------------------------------
+    sp = lights.spot_position
+    sd = lights.spot_direction  # emission direction
+    active_s = (jnp.arange(_NS) < lights.num_spot)[:, None]
+    tsx = sp[:, 0:1] - px
+    tsy = sp[:, 1:2] - py
+    tsz = sp[:, 2:3] - pz
+    spot_dist = jnp.sqrt(tsx * tsx + tsy * tsy + tsz * tsz)
+    inv_sd = 1.0 / greater_than_zero(spot_dist)
+    sdx, sdy, sdz = tsx * inv_sd, tsy * inv_sd, tsz * inv_sd
+    # Cone terms (``lightSampling.rlsl:60-65``): angle between the emission
+    # direction and light->surface (= -to_light).
+    ray_angle = -(sd[:, 0:1] * sdx + sd[:, 1:2] * sdy + sd[:, 2:3] * sdz)
+    inner = lights.spot_cos_angles[:, 0:1]
+    outer = lights.spot_cos_angles[:, 1:2]
+    vis = jnp.where(ray_angle > 0.0, 1.0, 0.0) * jnp.where(
+        ray_angle < outer, 0.0, 1.0
     )
+    spot_fall = 1.0 - glsl_smoothstep(inner, outer, ray_angle)
+    cone = vis * spot_fall
+    ndl_s = sdx * nx + sdy * ny + sdz * nz
+    w_spot = saturate(ndl_s) * _lum_rows(lights.spot_color) * cone
     w_spot = jnp.where(active_s, w_spot, 0.0)
 
     # Environment importance hack: ``50 * exposureCompensation``.
@@ -121,24 +138,31 @@ def compute_light_sample(
     )
     w_env = jnp.broadcast_to(w_env, (r,))
 
-    w_all = jnp.concatenate([w_dir, w_point, w_spot], axis=1)  # (R, S)
-    total = jnp.sum(w_all, axis=1) + w_env
+    w_all = jnp.concatenate([w_dir, w_point, w_spot], axis=0)  # (S, R)
+    total = jnp.sum(w_all, axis=0) + w_env
     norm = 1.0 / greater_than_zero(total)
-    probs = w_all * norm[:, None]
+    probs = w_all * norm[None, :]
     env_prob = w_env * norm
 
     # --- Selection: first slot with prob > 0 and u <= cdf ----------------
-    cdf = jnp.cumsum(probs, axis=1)
-    eligible = (u[:, None] <= cdf) & (probs > 0.0)
-    any_punctual = jnp.any(eligible, axis=1)
-    slot = jnp.argmax(eligible, axis=1)  # first True (0 if none)
+    cdf = jnp.cumsum(probs, axis=0)
+    eligible = (u[None, :] <= cdf) & (probs > 0.0)
+    any_punctual = jnp.any(eligible, axis=0)
+    slot = jnp.argmax(eligible, axis=0)  # first True (0 if none)
 
-    # --- Gather the chosen light's data ----------------------------------
-    # Build per-slot candidate arrays (R, S, ...) then take_along_axis.
-    dir_dirs = jnp.broadcast_to(lights.dir_direction[None], (r, _ND, 3))
-    cand_dir = jnp.concatenate([dir_dirs, point_dir, spot_dir], axis=1)
+    # --- Gather the chosen light's data (take_along_axis over slots) -------
+    ones_r = jnp.ones((1, r), jnp.float32)
+
+    def cat_rows(d_col, p_rows, s_rows):
+        return jnp.concatenate(
+            [jnp.broadcast_to(d_col, (_ND, r)), p_rows, s_rows], axis=0
+        )
+
+    cand_dx = cat_rows(dd[:, 0:1], pdx, sdx)  # (S, R)
+    cand_dy = cat_rows(dd[:, 1:2], pdy, sdy)
+    cand_dz = cat_rows(dd[:, 2:3], pdz, sdz)
     cand_dist = jnp.concatenate(
-        [jnp.full((r, _ND), inf), point_dist, spot_dist], axis=1
+        [jnp.full((_ND, r), inf), point_dist, spot_dist], axis=0
     )
     cand_type = jnp.concatenate(
         [
@@ -146,43 +170,55 @@ def compute_light_sample(
             jnp.full((_NP,), LIGHT_TYPE_POINT, jnp.int32),
             jnp.full((_NS,), LIGHT_TYPE_SPOT, jnp.int32),
         ]
-    )[None, :]
+    )
 
     # Radiance along the shadow ray (the light-primitive shaders):
     #   directional: color                     (directionalLight.rlsl:24)
     #   point:       color / d^2               (pointLight.rlsl:22-26)
     #   spot:        color / d^2 * falloff     (spotLight.rlsl:22-33)
-    rad_dir = jnp.broadcast_to(lights.dir_color[None], (r, _ND, 3))
-    rad_point = lights.point_color[None] / greater_than_zero(
-        point_dist**2
-    )[..., None]
-    spot_fall = 1.0 - glsl_smoothstep(
-        lights.spot_cos_angles[None, :, 0],
-        lights.spot_cos_angles[None, :, 1],
-        ray_angle,
+    inv_pd2 = 1.0 / greater_than_zero(point_dist * point_dist)
+    spot_att = (
+        jnp.where(ray_angle >= 0.0, 1.0, 0.0)
+        * spot_fall
+        / greater_than_zero(spot_dist * spot_dist)
     )
-    rad_spot = (
-        lights.spot_color[None]
-        / greater_than_zero(spot_dist**2)[..., None]
-        * (jnp.where(ray_angle >= 0.0, 1.0, 0.0) * spot_fall)[..., None]
-    )
-    cand_rad = jnp.concatenate([rad_dir, rad_point, rad_spot], axis=1)
 
-    idx = slot[:, None]
-    sel_dir = jnp.take_along_axis(cand_dir, idx[..., None], axis=1)[:, 0]
-    sel_dist = jnp.take_along_axis(cand_dist, idx, axis=1)[:, 0]
-    sel_prob = jnp.take_along_axis(probs, idx, axis=1)[:, 0]
-    sel_rad = jnp.take_along_axis(cand_rad, idx[..., None], axis=1)[:, 0]
-    sel_type = jnp.take_along_axis(
-        jnp.broadcast_to(cand_type, (r, NUM_SLOTS)), idx, axis=1
-    )[:, 0]
+    def cand_rad(ch):
+        return jnp.concatenate(
+            [
+                lights.dir_color[:, ch : ch + 1] * ones_r,
+                lights.point_color[:, ch : ch + 1] * inv_pd2,
+                lights.spot_color[:, ch : ch + 1] * spot_att,
+            ],
+            axis=0,
+        )
+
+    idx = slot[None, :]  # (1, R)
+
+    def pick(rows):
+        return jnp.take_along_axis(rows, idx, axis=0)[0]
+
+    sel_dx, sel_dy, sel_dz = pick(cand_dx), pick(cand_dy), pick(cand_dz)
+    sel_dist = pick(cand_dist)
+    sel_prob = pick(probs)
+    sel_rx, sel_ry, sel_rz = (
+        pick(cand_rad(0)),
+        pick(cand_rad(1)),
+        pick(cand_rad(2)),
+    )
+    sel_type = jnp.take(cand_type, slot)
 
     # Environment fall-through.
+    zero = jnp.zeros((r,), jnp.float32)
     light_type = jnp.where(any_punctual, sel_type, LIGHT_TYPE_ENVIRONMENT)
     probability = jnp.where(any_punctual, sel_prob, env_prob)
-    direction = jnp.where(any_punctual[:, None], sel_dir, 0.0)
+    direction = Vec3.where(
+        any_punctual, Vec3(sel_dx, sel_dy, sel_dz), Vec3(zero, zero, zero)
+    )
     max_distance = jnp.where(any_punctual, sel_dist, inf)
-    radiance = jnp.where(any_punctual[:, None], sel_rad, 0.0)
+    radiance = Vec3.where(
+        any_punctual, Vec3(sel_rx, sel_ry, sel_rz), Vec3(zero, zero, zero)
+    )
 
     return LightSample(
         light_type=light_type,

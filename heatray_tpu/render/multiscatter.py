@@ -18,7 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..sampling import qmc
-from .texture import sample_bilinear
+from .texture import sample_bilinear_scalar
 
 LUT_SIZE = 128
 SAMPLE_COUNT = 4096
@@ -78,12 +78,12 @@ def generate_multiscatter_lut() -> np.ndarray:
 
 
 def multiscatter_lut_jnp() -> jnp.ndarray:
-    """(LUT_SIZE, LUT_SIZE, 1) device array (rows=roughness, cols=NdotV)."""
-    return jnp.asarray(generate_multiscatter_lut())[..., None]
+    """(LUT_SIZE, LUT_SIZE) device array (rows=roughness, cols=NdotV)."""
+    return jnp.asarray(generate_multiscatter_lut())
 
 
 def compute_multiscattering(lut: jnp.ndarray, c_spec, n_dot_i, roughness):
     """``f_ms = 1 + Cspec * LUT(NdotI, roughness)``
-    (``microfacet.rlsl:17-23``); lut is (L, L, 1), c_spec (..., 3)."""
-    val = sample_bilinear(lut, n_dot_i, roughness)[..., 0]
-    return 1.0 + c_spec * val[..., None]
+    (``microfacet.rlsl:17-23``); lut is (L, L), c_spec a Vec3."""
+    val = sample_bilinear_scalar(lut, n_dot_i, roughness)
+    return 1.0 + c_spec * val

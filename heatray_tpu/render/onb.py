@@ -1,13 +1,15 @@
 """Vector math utilities: orthonormal frames, color helpers.
 
-Ports the semantics of ``Resources/shaders/utility.rlsl`` to batched jnp.
-All functions operate on arrays whose last axis is the vector axis and
-broadcast over leading (ray) dimensions.
+Ports the semantics of ``Resources/shaders/utility.rlsl`` to planar batched
+jnp: directions/colors are ``Vec3`` (three (R,) component arrays — see
+``heatray_tpu.vec`` for why), scalars are plain (R,) arrays.
 """
 
 from __future__ import annotations
 
 import jax.numpy as jnp
+
+from ..vec import Vec3
 
 PI = 3.14159265359
 TWO_PI = 2.0 * PI
@@ -15,12 +17,8 @@ ONE_OVER_PI = 1.0 / PI
 ONE_OVER_TWO_PI = 1.0 / TWO_PI
 
 
-def dot(a, b, keepdims=True):
-    return jnp.sum(a * b, axis=-1, keepdims=keepdims)
-
-
-def normalize(v, eps=1e-20):
-    return v / jnp.maximum(jnp.linalg.norm(v, axis=-1, keepdims=True), eps)
+def normalize(v: Vec3, eps=1e-20) -> Vec3:
+    return v.normalized(eps)
 
 
 def saturate(x):
@@ -50,14 +48,13 @@ def positive_characteristic(x):
     return jnp.where(x > 0.0, 1.0, 0.0)
 
 
-def luminosity(color):
+def luminosity(color: Vec3):
     """``dot(c, (0.33, 0.59, 0.11))`` — the reference's luminance weights
     (``utility.rlsl:163-166``)."""
-    w = jnp.array([0.33, 0.59, 0.11], dtype=color.dtype)
-    return jnp.sum(color * w, axis=-1)
+    return color.x * 0.33 + color.y * 0.59 + color.z * 0.11
 
 
-def orthonormal_frame(n):
+def orthonormal_frame(n: Vec3):
     """Pixar-revised Frisvad orthonormal basis, Y-up right-handed
     (``utility.rlsl:42-60``).
 
@@ -65,35 +62,24 @@ def orthonormal_frame(n):
     world ``x*X + y*N + z*Z`` (local Y is the normal).
     """
     # The reference permutes to left-handed Z-up, runs Frisvad, permutes back.
-    nx, ny, nz = n[..., 0], n[..., 2], n[..., 1]  # leftHandedN = (x, z, y)
+    nx, ny, nz = n.x, n.z, n.y  # leftHandedN = (x, z, y)
     s = get_sign(nz)
     a = -1.0 / (s + nz)
     b = nx * ny * a
-    x_lh = jnp.stack([1.0 + s * nx * nx * a, s * b, -s * nx], axis=-1)
-    z_lh = jnp.stack([b, s + ny * ny * a, -ny], axis=-1)
-    # Convert back to right-handed Y-up (swap y/z components).
-    x = jnp.stack([x_lh[..., 0], x_lh[..., 2], x_lh[..., 1]], axis=-1)
-    z = jnp.stack([z_lh[..., 0], z_lh[..., 2], z_lh[..., 1]], axis=-1)
+    # Left-handed results, then swap y/z back to right-handed Y-up.
+    x = Vec3(1.0 + s * nx * nx * a, -s * nx, s * b)
+    z = Vec3(b, -ny, s + ny * ny * a)
     return x, z
 
 
-def frame_to_world(local, x, n, z):
-    """Local (Y-up) direction -> world, given the frame columns (X, N, Z)."""
-    return (
-        local[..., 0:1] * x + local[..., 1:2] * n + local[..., 2:3] * z
-    )
+def frame_to_world(lx, ly, lz, x: Vec3, n: Vec3, z: Vec3) -> Vec3:
+    """Local (Y-up) direction components -> world direction."""
+    return x * lx + n * ly + z * lz
 
 
-def world_to_frame(world, x, n, z):
-    """World direction -> local frame coordinates (transpose of the frame)."""
-    return jnp.stack(
-        [
-            jnp.sum(world * x, axis=-1),
-            jnp.sum(world * n, axis=-1),
-            jnp.sum(world * z, axis=-1),
-        ],
-        axis=-1,
-    )
+def world_to_frame(w: Vec3, x: Vec3, n: Vec3, z: Vec3):
+    """World direction -> local frame components (transpose of the frame)."""
+    return w.dot(x), w.dot(n), w.dot(z)
 
 
 def linear_to_srgb(linear):
@@ -114,12 +100,3 @@ def srgb_to_linear(srgb):
         srgb / 12.92,
         jnp.power(jnp.maximum((srgb + a) / (1.0 + a), 1e-10), 2.4),
     )
-
-
-def normalize_safe(v, fallback=None, eps=1e-20):
-    """Normalize with a fallback direction for near-zero vectors."""
-    norm = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    unit = v / jnp.maximum(norm, eps)
-    if fallback is None:
-        return unit
-    return jnp.where(norm > eps, unit, fallback)

@@ -1,7 +1,8 @@
 """Texture sampling as gathers (TPUs have no texture units).
 
-Bilinear 2D sampling with wrap/clamp addressing, used for the environment
-map, the multiscatter LUT, and (later) material textures.
+Planar layout: an image is stored channel-major ``(C, H, W)`` so the four
+bilinear corner gathers are per-channel gathers of flat (R,) index arrays —
+no (R, C) intermediates (which would pad their last dim to 128 lanes).
 """
 
 from __future__ import annotations
@@ -9,19 +10,15 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
-def sample_bilinear(image: jnp.ndarray, u, v, wrap_u: bool = False, wrap_v: bool = False):
-    """Bilinear sample of ``image`` (H, W, C) at texture coords (u, v) in
-    [0, 1] (v = 0 is row 0).  u/v broadcast over any leading shape; returns
-    (..., C)."""
-    h, w = image.shape[0], image.shape[1]
+def _corner_indices(h, w, u, v, wrap_u, wrap_v):
     x = u * w - 0.5
     y = v * h - 0.5
-    x0 = jnp.floor(x)
-    y0 = jnp.floor(y)
-    fx = (x - x0)[..., None]
-    fy = (y - y0)[..., None]
-    x0 = x0.astype(jnp.int32)
-    y0 = y0.astype(jnp.int32)
+    x0f = jnp.floor(x)
+    y0f = jnp.floor(y)
+    fx = x - x0f
+    fy = y - y0f
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
     x1 = x0 + 1
     y1 = y0 + 1
     if wrap_u:
@@ -36,23 +33,42 @@ def sample_bilinear(image: jnp.ndarray, u, v, wrap_u: bool = False, wrap_v: bool
     else:
         y0 = jnp.clip(y0, 0, h - 1)
         y1 = jnp.clip(y1, 0, h - 1)
-
-    flat = image.reshape(h * w, -1)
-
-    def tex(yy, xx):
-        return jnp.take(flat, yy * w + xx, axis=0)
-
-    c00 = tex(y0, x0)
-    c10 = tex(y0, x1)
-    c01 = tex(y1, x0)
-    c11 = tex(y1, x1)
-    top = c00 + (c10 - c00) * fx
-    bot = c01 + (c11 - c01) * fx
-    return top + (bot - top) * fy
+    return x0, x1, y0, y1, fx, fy
 
 
-def sample_nearest(image: jnp.ndarray, u, v):
-    h, w = image.shape[0], image.shape[1]
+def sample_bilinear_planar(image: jnp.ndarray, u, v, wrap_u=False, wrap_v=False):
+    """Bilinear sample of a planar ``(C, H, W)`` image at (u, v) in [0, 1]
+    (v = 0 is row 0).  u/v are arrays of any matching shape; returns a list
+    of C arrays of that shape."""
+    c, h, w = image.shape
+    x0, x1, y0, y1, fx, fy = _corner_indices(h, w, u, v, wrap_u, wrap_v)
+    flat = image.reshape(c, h * w)
+    i00 = y0 * w + x0
+    i10 = y0 * w + x1
+    i01 = y1 * w + x0
+    i11 = y1 * w + x1
+    out = []
+    for ch in range(c):
+        f = flat[ch]
+        c00 = jnp.take(f, i00)
+        c10 = jnp.take(f, i10)
+        c01 = jnp.take(f, i01)
+        c11 = jnp.take(f, i11)
+        top = c00 + (c10 - c00) * fx
+        bot = c01 + (c11 - c01) * fx
+        out.append(top + (bot - top) * fy)
+    return out
+
+
+def sample_bilinear_scalar(image: jnp.ndarray, u, v, wrap_u=False, wrap_v=False):
+    """Bilinear sample of a single-channel ``(H, W)`` image."""
+    return sample_bilinear_planar(image[None], u, v, wrap_u, wrap_v)[0]
+
+
+def sample_nearest_planar(image: jnp.ndarray, u, v):
+    c, h, w = image.shape
     x = jnp.clip((u * w).astype(jnp.int32), 0, w - 1)
     y = jnp.clip((v * h).astype(jnp.int32), 0, h - 1)
-    return jnp.take(image.reshape(h * w, -1), y * w + x, axis=0)
+    flat = image.reshape(c, h * w)
+    idx = y * w + x
+    return [jnp.take(flat[ch], idx) for ch in range(c)]

@@ -23,20 +23,21 @@ NUM_RANDOM_SEQUENCES = 16
 
 @struct.dataclass
 class SampleTables:
-    """All sampling data needed by one render configuration (a pytree)."""
+    """All sampling data needed by one render configuration (a pytree).
 
-    sequences: jnp.ndarray  # (S, L, 2) f32 — main QMC table
-    aperture: jnp.ndarray  # (S, L, 2) f32 — bokeh samples in [0,1]
+    Tables are stored planar (one flat array per 2D-sample component) so
+    lookups gather flat (R,) arrays — no (R, 2) trailing axis (see
+    ``heatray_tpu.vec``).  Row-major layout: entry ``seq * L + index``.
+    """
+
+    seq_u: jnp.ndarray  # (S * L,) f32 — main QMC table, component 0
+    seq_v: jnp.ndarray  # (S * L,) f32 — main QMC table, component 1
+    aperture_u: jnp.ndarray  # (S * L,) f32 — bokeh samples in [0,1]
+    aperture_v: jnp.ndarray  # (S * L,) f32
     pixel_sequence_id: jnp.ndarray  # (H, W) i32 — per-pixel sequence select
     pixel_sequence_offset: jnp.ndarray  # (H, W) i32 — per-pixel index offset
-
-    @property
-    def num_sequences(self) -> int:
-        return self.sequences.shape[0]
-
-    @property
-    def sequence_length(self) -> int:
-        return self.sequences.shape[1]
+    num_sequences: int = struct.field(pytree_node=False, default=NUM_RANDOM_SEQUENCES)
+    sequence_length: int = struct.field(pytree_node=False, default=0)
 
 
 def glsl_random(st: np.ndarray) -> np.ndarray:
@@ -98,11 +99,17 @@ def build_tables(
     seq_offset = np.floor(offsets * np.float32(max_passes)).astype(np.int32)
     seq_offset = np.minimum(seq_offset, max_passes - 1)
 
+    seqs = seqs.reshape(-1, 2)
+    aperture = aperture.reshape(-1, 2)
     return SampleTables(
-        sequences=jnp.asarray(seqs),
-        aperture=jnp.asarray(aperture),
+        seq_u=jnp.asarray(np.ascontiguousarray(seqs[:, 0])),
+        seq_v=jnp.asarray(np.ascontiguousarray(seqs[:, 1])),
+        aperture_u=jnp.asarray(np.ascontiguousarray(aperture[:, 0])),
+        aperture_v=jnp.asarray(np.ascontiguousarray(aperture[:, 1])),
         pixel_sequence_id=jnp.asarray(seq_id),
         pixel_sequence_offset=jnp.asarray(seq_offset),
+        num_sequences=NUM_RANDOM_SEQUENCES,
+        sequence_length=max_passes,
     )
 
 
@@ -110,14 +117,14 @@ def get_sequence_value(tables: SampleTables, sequence_index, sample_index):
     """Wrapped 2D sample lookup, ``Resources/shaders/sequence.rlsl:18-28``.
 
     ``sequence_index`` and ``sample_index`` are int32 arrays of any (matching)
-    shape; returns a float32 array of shape ``(*shape, 2)``.
+    shape; returns float32 arrays ``(u, v)`` of that shape.
     """
     s = tables.num_sequences
     length = tables.sequence_length
     seq = jnp.remainder(sequence_index, s)
     idx = jnp.remainder(sample_index, length)
-    flat = tables.sequences.reshape(s * length, 2)
-    return jnp.take(flat, seq * length + idx, axis=0)
+    entry = seq * length + idx
+    return jnp.take(tables.seq_u, entry), jnp.take(tables.seq_v, entry)
 
 
 def get_aperture_sample(tables: SampleTables, sequence_id, sample_index):
@@ -125,9 +132,9 @@ def get_aperture_sample(tables: SampleTables, sequence_id, sample_index):
 
     The reference indexes ``samples[sequenceID * sequenceLength + sampleIndex]``
     without wrapping; we wrap the sample index defensively (identical for
-    sample_index < length).
+    sample_index < length).  Returns ``(u, v)`` float32 arrays.
     """
     length = tables.sequence_length
     idx = jnp.remainder(sample_index, length)
-    flat = tables.aperture.reshape(tables.num_sequences * length, 2)
-    return jnp.take(flat, sequence_id * length + idx, axis=0)
+    entry = sequence_id * length + idx
+    return jnp.take(tables.aperture_u, entry), jnp.take(tables.aperture_v, entry)

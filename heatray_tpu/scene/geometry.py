@@ -23,25 +23,27 @@ class Geometry:
 
     Vertex attributes mirror the reference's semantic set
     (``Scene/MeshProvider.h:30-48``): position, normal, uv, tangent,
-    bitangent, color.
+    bitangent, color.  Device layout is **planar** (component-major) so
+    per-vertex gathers produce flat (R,) arrays with no padded trailing
+    axis — see ``heatray_tpu.vec``.
     """
 
-    positions: jnp.ndarray  # (V, 3) f32
-    normals: jnp.ndarray  # (V, 3) f32
-    uvs: jnp.ndarray  # (V, 2) f32
-    tangents: jnp.ndarray  # (V, 3) f32
-    bitangents: jnp.ndarray  # (V, 3) f32
-    colors: jnp.ndarray  # (V, 3) f32 vertex colors
-    indices: jnp.ndarray  # (T, 3) i32
+    positions: jnp.ndarray  # (3, V) f32
+    normals: jnp.ndarray  # (3, V) f32
+    uvs: jnp.ndarray  # (2, V) f32
+    tangents: jnp.ndarray  # (3, V) f32
+    bitangents: jnp.ndarray  # (3, V) f32
+    colors: jnp.ndarray  # (3, V) f32 vertex colors
+    indices: jnp.ndarray  # (3, T) i32 (rows = corner 0/1/2)
     material_ids: jnp.ndarray  # (T,) i32 per-triangle material index
 
     @property
     def num_triangles(self) -> int:
-        return self.indices.shape[0]
+        return self.indices.shape[1]
 
     @property
     def num_vertices(self) -> int:
-        return self.positions.shape[0]
+        return self.positions.shape[1]
 
 
 @dataclasses.dataclass
@@ -110,8 +112,34 @@ def compute_vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.nda
     return (normals / np.maximum(norm, 1e-20)).astype(np.float32)
 
 
+def _morton_order(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
+    """Triangle permutation sorting centroids along a 30-bit Morton curve.
+
+    The TPU intersectors cull whole contiguous triangle chunks against
+    per-chunk AABBs (the flat-cluster replacement for OpenRL's internal BVH);
+    Morton ordering makes contiguous chunks spatially compact so the culling
+    actually bites.
+    """
+    c = positions[indices].mean(axis=1)  # (T, 3) centroids
+    lo = c.min(axis=0)
+    extent = np.maximum(c.max(axis=0) - lo, 1e-12)
+    q = np.clip(((c - lo) / extent) * 1023.0, 0.0, 1023.0).astype(np.uint64)
+
+    def spread(x):
+        x = (x | (x << 16)) & np.uint64(0x030000FF)
+        x = (x | (x << 8)) & np.uint64(0x0300F00F)
+        x = (x | (x << 4)) & np.uint64(0x030C30C3)
+        x = (x | (x << 2)) & np.uint64(0x09249249)
+        return x
+
+    code = (spread(q[:, 0]) << 2) | (spread(q[:, 1]) << 1) | spread(q[:, 2])
+    return np.argsort(code, kind="stable").astype(np.int64)
+
+
 def merge_meshes(meshes: List[MeshData], material_ids: List[int]) -> Geometry:
-    """Concatenate per-mesh buffers into one flat ``Geometry``."""
+    """Concatenate per-mesh buffers into one flat ``Geometry``.
+
+    Triangles are re-ordered along a Morton curve (see ``_morton_order``)."""
     assert len(meshes) == len(material_ids)
     pos, nrm, uv, tan, bit, col, idx, mat = [], [], [], [], [], [], [], []
     offset = 0
@@ -143,22 +171,28 @@ def merge_meshes(meshes: List[MeshData], material_ids: List[int]) -> Geometry:
         idx.append(mesh.indices + offset)
         mat.append(np.full((t,), mid, dtype=np.int32))
         offset += v
+    all_pos = np.concatenate(pos)
+    all_idx = np.concatenate(idx)
+    all_mat = np.concatenate(mat)
+    order = _morton_order(all_pos, all_idx)
+    all_idx = all_idx[order]
+    all_mat = all_mat[order]
     return Geometry(
-        positions=jnp.asarray(np.concatenate(pos)),
-        normals=jnp.asarray(np.concatenate(nrm)),
-        uvs=jnp.asarray(np.concatenate(uv)),
-        tangents=jnp.asarray(np.concatenate(tan)),
-        bitangents=jnp.asarray(np.concatenate(bit)),
-        colors=jnp.asarray(np.concatenate(col)),
-        indices=jnp.asarray(np.concatenate(idx)),
-        material_ids=jnp.asarray(np.concatenate(mat)),
+        positions=jnp.asarray(all_pos.T),
+        normals=jnp.asarray(np.concatenate(nrm).T),
+        uvs=jnp.asarray(np.concatenate(uv).T),
+        tangents=jnp.asarray(np.concatenate(tan).T),
+        bitangents=jnp.asarray(np.concatenate(bit).T),
+        colors=jnp.asarray(np.concatenate(col).T),
+        indices=jnp.asarray(all_idx.T),
+        material_ids=jnp.asarray(all_mat),
     )
 
 
 def scene_aabb(geometry: Geometry) -> np.ndarray:
     """(2, 3) min/max corners (the analog of ``Utility/AABB.h``)."""
-    p = np.asarray(geometry.positions)
-    return np.stack([p.min(axis=0), p.max(axis=0)])
+    p = np.asarray(geometry.positions)  # (3, V)
+    return np.stack([p.min(axis=1), p.max(axis=1)])
 
 
 def translate(v) -> np.ndarray:

@@ -136,7 +136,7 @@ class LightBank:
     spot_cos_angles: jnp.ndarray  # (5, 2) [cos(inner), cos(outer)]
 
     env_enabled: jnp.ndarray  # () i32
-    env_map: jnp.ndarray  # (He, We, 3) linear; 1x1 for solid color
+    env_map: jnp.ndarray  # (3, He, We) planar linear; 1x1 for solid color
     env_exposure_compensation: jnp.ndarray  # () f32 = 2^exposure
     env_rotation: jnp.ndarray  # () f32 radians
 
@@ -180,16 +180,19 @@ def build_light_bank(
 
     if environment is not None:
         if environment.image is not None:
-            env_map = np.asarray(environment.image, np.float32)
+            # (H, W, 3) -> planar (3, H, W).
+            env_map = np.ascontiguousarray(
+                np.asarray(environment.image, np.float32).transpose(2, 0, 1)
+            )
         else:
             env_map = np.asarray(environment.solid_color, np.float32).reshape(
-                1, 1, 3
+                3, 1, 1
             )
         env_enabled = 1
         env_comp = 2.0 ** environment.exposure
         env_rot = environment.rotation
     else:
-        env_map = np.zeros((1, 1, 3), np.float32)
+        env_map = np.zeros((3, 1, 1), np.float32)
         env_enabled = 0
         env_comp = 1.0
         env_rot = 0.0

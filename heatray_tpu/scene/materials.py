@@ -57,13 +57,13 @@ class GlassParams:
 class MaterialTable:
     """Conditioned, shader-ready material parameters (a pytree).
 
-    All fields are (M,) or (M, 3) float32/int32 arrays; PBR-only fields are
-    zero for glass rows and vice versa.
+    All fields are (M,) or planar (3, M) float32/int32 arrays; PBR-only
+    fields are zero for glass rows and vice versa.
     """
 
     kind: jnp.ndarray  # (M,) i32: 0 = PBR, 1 = glass
-    base_color: jnp.ndarray  # (M, 3)
-    emissive: jnp.ndarray  # (M, 3)
+    base_color: jnp.ndarray  # (3, M) planar
+    emissive: jnp.ndarray  # (3, M) planar
     metallic: jnp.ndarray  # (M,)
     roughness: jnp.ndarray  # (M,) conditioned (>= MIN_ROUGHNESS)
     roughness_alpha: jnp.ndarray  # (M,) roughness^2
@@ -132,4 +132,6 @@ def build_material_table(materials: List) -> MaterialTable:
             out["double_sided"][i] = 1  # glass shades both faces
         else:
             raise TypeError(f"unknown material type: {type(mat)}")
+    out["base_color"] = np.ascontiguousarray(out["base_color"].T)
+    out["emissive"] = np.ascontiguousarray(out["emissive"].T)
     return MaterialTable(**{k: jnp.asarray(v) for k, v in out.items()})

@@ -13,6 +13,17 @@ from heatray_tpu.ops import (
     intersect_any,
     intersect_closest,
 )
+from heatray_tpu.vec import Vec3
+
+
+def v3(a):
+    """(N, 3) array -> planar Vec3."""
+    return Vec3.from_array(jnp.asarray(a, jnp.float32))
+
+
+def planar(a):
+    """(N, 3) array -> (3, N) planar device array."""
+    return jnp.asarray(np.asarray(a).T)
 
 
 def moller_trumbore_ref(orig, dirs, v0, v1, v2, t_min=1e-4, t_max=3e37):
@@ -67,9 +78,9 @@ class TestClosestHit:
     def test_matches_reference(self, random_tris, random_rays):
         positions, indices, v0, v1, v2 = random_tris
         orig, dirs = random_rays
-        accel = build_woop(jnp.asarray(positions), jnp.asarray(indices))
+        accel = build_woop(planar(positions), planar(indices))
         t, tid, front, hit = intersect_closest(
-            accel, jnp.asarray(orig), jnp.asarray(dirs), tri_chunk=16
+            accel, v3(orig), v3(dirs), tri_chunk=16
         )
         rt, rid = moller_trumbore_ref(
             orig.astype(np.float64), dirs.astype(np.float64),
@@ -86,36 +97,32 @@ class TestClosestHit:
 
     def test_miss_is_minus_one(self, random_tris):
         positions, indices, *_ = random_tris
-        accel = build_woop(jnp.asarray(positions), jnp.asarray(indices))
-        orig = jnp.array([[100.0, 100.0, 100.0]])
-        dirs = jnp.array([[1.0, 0.0, 0.0]])
-        t, tid, front, hit = intersect_closest(accel, orig, dirs)
+        accel = build_woop(planar(positions), planar(indices))
+        t, tid, front, hit = intersect_closest(
+            accel, v3([[100.0, 100.0, 100.0]]), v3([[1.0, 0.0, 0.0]])
+        )
         assert int(tid[0]) == -1 and not bool(hit[0])
         assert float(t[0]) == float(MISS_T)
 
     def test_front_facing(self):
         # CCW triangle in the XY plane, normal +Z.
-        positions = jnp.array(
-            [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
-        )
-        indices = jnp.array([[0, 1, 2]], jnp.int32)
-        accel = build_woop(positions, indices)
+        positions = [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]
+        accel = build_woop(planar(positions), planar(np.array([[0, 1, 2]])))
         # Ray from +Z looking down: hits the front face.
-        o = jnp.array([[0.2, 0.2, 1.0], [0.2, 0.2, -1.0]])
-        d = jnp.array([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])
+        o = v3([[0.2, 0.2, 1.0], [0.2, 0.2, -1.0]])
+        d = v3([[0.0, 0.0, -1.0], [0.0, 0.0, 1.0]])
         t, tid, front, hit = intersect_closest(accel, o, d)
         assert bool(hit[0]) and bool(hit[1])
         assert bool(front[0]) and not bool(front[1])
 
     def test_t_min_skips_origin_surface(self):
-        positions = jnp.array(
-            [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
-             [0.0, 0.0, -1.0], [1.0, 0.0, -1.0], [0.0, 1.0, -1.0]]
+        positions = [[0.0, 0.0, 0.0], [1.0, 0.0, 0.0], [0.0, 1.0, 0.0],
+                     [0.0, 0.0, -1.0], [1.0, 0.0, -1.0], [0.0, 1.0, -1.0]]
+        accel = build_woop(
+            planar(positions), planar(np.array([[0, 1, 2], [3, 4, 5]]))
         )
-        indices = jnp.array([[0, 1, 2], [3, 4, 5]], jnp.int32)
-        accel = build_woop(positions, indices)
-        o = jnp.array([[0.2, 0.2, 0.0]])  # on triangle 0
-        d = jnp.array([[0.0, 0.0, -1.0]])
+        o = v3([[0.2, 0.2, 0.0]])  # on triangle 0
+        d = v3([[0.0, 0.0, -1.0]])
         t, tid, front, hit = intersect_closest(accel, o, d, t_min=1e-4)
         assert int(tid[0]) == 1  # should skip the coplanar start surface
         assert np.isclose(float(t[0]), 1.0, atol=1e-5)
@@ -124,25 +131,22 @@ class TestClosestHit:
 class TestOcclusion:
     def test_blocked_and_free(self, random_tris):
         positions, indices, v0, v1, v2 = random_tris
-        accel = build_woop(jnp.asarray(positions), jnp.asarray(indices))
+        accel = build_woop(planar(positions), planar(indices))
         centroid = (v0[7] + v1[7] + v2[7]) / 3.0
         o = np.array([[0.0, 0.0, -10.0], [100.0, 100.0, 100.0]], np.float32)
         d = np.stack(
             [centroid - o[0], np.array([0.0, 0.0, 1.0], np.float32)]
         )
         d /= np.linalg.norm(d, axis=1, keepdims=True)
-        blocked = intersect_any(accel, jnp.asarray(o), jnp.asarray(d), tri_chunk=16)
+        blocked = intersect_any(accel, v3(o), v3(d), tri_chunk=16)
         assert bool(blocked[0])  # aimed through a triangle centroid
         assert not bool(blocked[1])
 
     def test_max_t_limits(self):
-        positions = jnp.array(
-            [[-1.0, -1.0, 5.0], [1.0, -1.0, 5.0], [0.0, 2.0, 5.0]]
-        )
-        indices = jnp.array([[0, 1, 2]], jnp.int32)
-        accel = build_woop(positions, indices)
-        o = jnp.zeros((2, 3))
-        d = jnp.array([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
+        positions = [[-1.0, -1.0, 5.0], [1.0, -1.0, 5.0], [0.0, 2.0, 5.0]]
+        accel = build_woop(planar(positions), planar(np.array([[0, 1, 2]])))
+        o = v3(np.zeros((2, 3)))
+        d = v3([[0.0, 0.0, 1.0], [0.0, 0.0, 1.0]])
         t_max = jnp.array([10.0, 2.0])  # second ray stops before the tri
         blocked = intersect_any(accel, o, d, t_max=t_max)
         assert bool(blocked[0]) and not bool(blocked[1])
@@ -150,13 +154,10 @@ class TestOcclusion:
 
 class TestHitAttributes:
     def test_barycentric_and_grad(self):
-        positions = jnp.array(
-            [[0.0, 0.0, 0.0], [2.0, 0.0, 0.0], [0.0, 2.0, 0.0]]
-        )
-        indices = jnp.array([[0, 1, 2]], jnp.int32)
-        accel = build_woop(positions, indices)
-        o = jnp.array([[0.5, 0.5, 3.0]])
-        d = jnp.array([[0.0, 0.0, -1.0]])
+        positions = [[0.0, 0.0, 0.0], [2.0, 0.0, 0.0], [0.0, 2.0, 0.0]]
+        accel = build_woop(planar(positions), planar(np.array([[0, 1, 2]])))
+        o = v3([[0.5, 0.5, 3.0]])
+        d = v3([[0.0, 0.0, -1.0]])
         t, tid, front, hit = intersect_closest(accel, o, d)
         t2, b1, b2 = hit_attributes(accel, o, d, tid, hit)
         assert np.isclose(float(t2[0]), 3.0, atol=1e-5)
@@ -164,9 +165,9 @@ class TestHitAttributes:
         assert np.isclose(float(b2[0]), 0.25, atol=1e-5)
 
         # Gradients flow to the ray origin through hit_attributes.
-        def f(o):
-            t2, _, _ = hit_attributes(accel, o, d, tid, hit)
+        def f(oa):
+            t2, _, _ = hit_attributes(accel, Vec3.from_array(oa), d, tid, hit)
             return t2[0]
 
-        g = jax.grad(f)(o)
+        g = jax.grad(f)(jnp.array([[0.5, 0.5, 3.0]]))
         assert np.allclose(np.asarray(g[0]), [0.0, 0.0, 1.0], atol=1e-5)

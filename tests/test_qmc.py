@@ -146,16 +146,17 @@ class TestTables:
         from heatray_tpu.sampling import build_tables, get_sequence_value
 
         t = build_tables(8, 8, max_passes=32)
-        assert t.sequences.shape == (16, 32, 2)
-        assert t.aperture.shape == (16, 32, 2)
+        assert t.seq_u.shape == (16 * 32,)
+        assert t.aperture_u.shape == (16 * 32,)
         assert t.pixel_sequence_id.shape == (8, 8)
         assert int(t.pixel_sequence_id.max()) < 16
         assert int(t.pixel_sequence_offset.max()) < 32
 
         # Wraparound lookup matches direct indexing.
-        v = get_sequence_value(t, jnp.array([17]), jnp.array([33]))
-        expected = t.sequences[17 % 16, 33 % 32]
-        assert np.allclose(np.asarray(v[0]), np.asarray(expected))
+        u, v = get_sequence_value(t, jnp.array([17]), jnp.array([33]))
+        entry = (17 % 16) * 32 + (33 % 32)
+        assert np.allclose(np.asarray(u[0]), np.asarray(t.seq_u[entry]))
+        assert np.allclose(np.asarray(v[0]), np.asarray(t.seq_v[entry]))
 
     def test_glsl_random_range(self):
         from heatray_tpu.sampling import glsl_random

@@ -137,7 +137,7 @@ class TestAccumulation:
         scene = white_furnace_scene()
         cam = orbit_camera(32, 32, distance=3.0)
         accum, _ = render(scene, cam, OPTS32, num_passes=3, ctx=ctx32)
-        assert np.all(np.asarray(accum[..., 3]) == 3.0)
+        assert np.all(np.asarray(accum[3]) == 3.0)
 
     def test_deterministic(self, ctx32):
         scene = simple_scene(
@@ -180,15 +180,15 @@ class TestDifferentiability:
         scene = simple_scene(light=DirectionalLight())
         cam = orbit_camera(32, 32, distance=5.0, theta=0.5)
         frame = FrameGlobals.create(0)
-        accum0 = jnp.zeros((32, 32, 4))
+        accum0 = jnp.zeros((4, 32, 32))
 
         def loss(base_color):
             mats = scene.materials.replace(
-                base_color=scene.materials.base_color.at[0].set(base_color)
+                base_color=scene.materials.base_color.at[:, 0].set(base_color)
             )
             s = scene.replace(materials=mats)
             accum = render_pass(s, cam, ctx32, OPTS32, frame, accum0)
-            return jnp.mean(accum[..., :3])
+            return jnp.mean(accum[:3])
 
         g = jax.grad(loss)(jnp.array([0.8, 0.3, 0.3]))
         g = np.asarray(g)
@@ -201,7 +201,7 @@ class TestDifferentiability:
         scene = simple_scene(light=DirectionalLight())
         cam = orbit_camera(32, 32, distance=5.0, theta=0.5)
         frame = FrameGlobals.create(0)
-        accum0 = jnp.zeros((32, 32, 4))
+        accum0 = jnp.zeros((4, 32, 32))
 
         def loss(rough):
             mats = scene.materials.replace(
@@ -212,7 +212,7 @@ class TestDifferentiability:
             )
             s = scene.replace(materials=mats)
             accum = render_pass(s, cam, ctx32, OPTS32, frame, accum0)
-            return jnp.mean(accum[..., :3])
+            return jnp.mean(accum[:3])
 
         g = float(jax.grad(loss)(jnp.float32(0.6)))
         h = 1e-2
@@ -221,3 +221,31 @@ class TestDifferentiability:
         )
         assert np.isfinite(g)
         assert np.isclose(g, fd, rtol=0.05, atol=1e-5), (g, fd)
+
+    def test_specular_glass_grads_finite(self, ctx32):
+        """Roughness gradients through the metal (VNDF) and glass (refract)
+        paths must be finite and nonzero — regression for the masked
+        sqrt(0)/norm(0) infinite-gradient leak (0-cotangent x inf = NaN)."""
+        from heatray_tpu.scene.builtin import multi_material
+
+        scene = multi_material()
+        cam = orbit_camera(32, 32, distance=6.0, theta=0.3)
+        frame = FrameGlobals.create(0)
+        accum0 = jnp.zeros((4, 32, 32))
+
+        for mat_id, r0 in ((1, 0.3), (2, 0.2)):  # metal sphere, glass sphere
+
+            def loss(r, mat_id=mat_id):
+                mats = scene.materials.replace(
+                    roughness=scene.materials.roughness.at[mat_id].set(r),
+                    roughness_alpha=scene.materials.roughness_alpha.at[
+                        mat_id
+                    ].set(r * r),
+                )
+                s = scene.replace(materials=mats)
+                accum = render_pass(s, cam, ctx32, OPTS32, frame, accum0)
+                return jnp.mean(accum[:3])
+
+            g = float(jax.grad(loss)(jnp.float32(r0)))
+            assert np.isfinite(g), f"material {mat_id}: NaN/Inf grad"
+            assert abs(g) > 0.0, f"material {mat_id}: zero grad"
