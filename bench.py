@@ -30,7 +30,7 @@ def main() -> None:
     width = int(os.environ.get("BENCH_WIDTH", 1920))
     height = int(os.environ.get("BENCH_HEIGHT", 1080))
     depth = int(os.environ.get("BENCH_DEPTH", 4))
-    timed_passes = int(os.environ.get("BENCH_PASSES", 4))
+    timed_passes = int(os.environ.get("BENCH_PASSES", 64))
 
     from heatray_tpu.camera import orbit_camera
     from heatray_tpu.options import FrameGlobals, RenderOptions
@@ -75,18 +75,32 @@ def main() -> None:
     jax.block_until_ready(accum)
     print(f"[bench] warmup pass: {time.time()-t0:.1f}s", file=sys.stderr)
 
-    # Timed passes.
-    t0 = time.time()
-    for i in range(timed_passes):
-        accum = render_pass(
-            scene, camera, ctx, options, FrameGlobals.create(2 + i), accum
-        )
-    jax.block_until_ready(accum)
-    dt = time.time() - t0
+    # Timed passes: fetch-slope method.  On the remote-TPU tunnel,
+    # block_until_ready does not reliably synchronize; a host fetch of the
+    # result does.  Timing n1 and n2 chained passes each ending in a full
+    # fetch and taking the slope cancels the (large) fixed fetch cost.
+    import numpy as np
 
-    mrays = rays_per_pass * timed_passes / dt / 1e6
+    def run_chain(n: int) -> float:
+        a = accum
+        t0 = time.time()
+        for i in range(n):
+            a = render_pass(
+                scene, camera, ctx, options, FrameGlobals.create(2 + i), a
+            )
+        np.asarray(a)  # device -> host fetch forces real execution
+        return time.time() - t0
+
+    n1 = max(1, timed_passes // 8)
+    run_chain(1)  # prime
+    t1 = run_chain(n1)
+    t2 = run_chain(timed_passes)
+    dt = max((t2 - t1) / (timed_passes - n1), 1e-9)
+
+    mrays = rays_per_pass / dt / 1e6
     print(
-        f"[bench] {timed_passes} passes in {dt:.2f}s -> {mrays:.1f} Mrays/s",
+        f"[bench] slope({n1}->{timed_passes} passes): {dt*1e3:.1f} ms/pass "
+        f"-> {mrays:.1f} Mrays/s (t{n1}={t1:.1f}s t{timed_passes}={t2:.1f}s)",
         file=sys.stderr,
     )
 

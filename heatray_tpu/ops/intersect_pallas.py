@@ -34,6 +34,9 @@ from .intersect import WoopAccel, chunk_boxes
 
 MISS_T = 3.0e38  # plain float: jnp constants would be captured by the kernel
 
+# Tile sizes: smaller chunks cull better for coherent primary rays but pay
+# more per-chunk fixed cost for incoherent bounce rays; 512/1024 is the best
+# full-pass compromise measured on v5e (override via RenderOptions).
 RAY_TILE = 1024  # rays per grid step (8 lane-tiles)
 TRI_CHUNK = 512  # triangles per inner iteration (lane dim = 1536)
 _DZ_EPS = 1e-15
@@ -109,7 +112,7 @@ def _tile_slab_mask(rays, invx, invy, invz, box_ref, c, t_min, t_far):
     return tn <= tf
 
 
-def _pair_hits(rays, wm, tc, t_min, t_max_row):
+def _pair_hits(rays, wm, tc, t_min, t_max_row, precision=jax.lax.Precision.HIGHEST):
     """Shared hit math: one ray tile x one chunk -> masked t (Tc, Rt)."""
     o_feat = rays[0:4, :]  # (4, Rt): ox, oy, oz, 1
     d_feat = rays[4:8, :]  # (4, Rt): dx, dy, dz, 0
@@ -118,9 +121,9 @@ def _pair_hits(rays, wm, tc, t_min, t_max_row):
     # which the Woop affine (inverse matrices of sliver triangles) amplifies
     # into wrong hit ids; HIGHEST forces the full-f32 multi-pass schedule.
     po = jax.lax.dot_general(wm, o_feat, dims, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=precision)
     pd = jax.lax.dot_general(wm, d_feat, dims, preferred_element_type=jnp.float32,
-                             precision=jax.lax.Precision.HIGHEST)
+                             precision=precision)
     ob1, ob2, os_ = po[:tc], po[tc : 2 * tc], po[2 * tc :]
     db1, db2, ds = pd[:tc], pd[tc : 2 * tc], pd[2 * tc :]
     dz_ok = jnp.abs(ds) > _DZ_EPS
@@ -138,7 +141,7 @@ def _pair_hits(rays, wm, tc, t_min, t_max_row):
     return jnp.where(valid, t, MISS_T)
 
 
-def _closest_kernel(tc, num_chunks, t_min, rays_ref, w_ref, box_ref, t_ref, id_ref):
+def _closest_kernel(tc, num_chunks, t_min, precision, rays_ref, w_ref, box_ref, t_ref, id_ref):
     rays = rays_ref[...]  # (8, Rt)
     rt = rays.shape[1]
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
@@ -147,7 +150,7 @@ def _closest_kernel(tc, num_chunks, t_min, rays_ref, w_ref, box_ref, t_ref, id_r
     def body(c, carry):
         def hit_chunk(carry):
             best_t, best_id = carry  # (1, Rt) each
-            tm = _pair_hits(rays, w_ref[c], tc, t_min, MISS_T)
+            tm = _pair_hits(rays, w_ref[c], tc, t_min, MISS_T, precision)
             col_min = jnp.min(tm, axis=0, keepdims=True)  # (1, Rt)
             # Sublane (triangle-within-chunk) achieving the min; BIG if none.
             tri = jnp.min(
@@ -174,17 +177,19 @@ def _closest_kernel(tc, num_chunks, t_min, rays_ref, w_ref, box_ref, t_ref, id_r
     id_ref[...] = best_id
 
 
-def _any_kernel(tc, num_chunks, t_min, rays_ref, tmax_ref, w_ref, box_ref, hit_ref):
+def _any_kernel(tc, num_chunks, t_min, precision, rays_ref, tmax_ref, w_ref, box_ref, hit_ref):
     rays = rays_ref[...]
     t_max = tmax_ref[...]  # (1, Rt), broadcasts over sublanes
     rt = rays.shape[1]
     invx, invy, invz = _tile_inv_dir(rays)
 
     # Carry the running min-t (f32) instead of a bool mask — Mosaic's
-    # loop-carried i1 vectors miscompile at this shape.
+    # loop-carried i1 vectors miscompile at this shape.  (A while_loop with
+    # an all-blocked early exit measured SLOWER than the predicated
+    # fori_loop — it defeats Mosaic's loop pipelining.)
     def body(c, min_t):
         def hit_chunk(min_t):
-            tm = _pair_hits(rays, w_ref[c], tc, t_min, t_max)
+            tm = _pair_hits(rays, w_ref[c], tc, t_min, t_max, precision)
             return jnp.minimum(min_t, jnp.min(tm, axis=0, keepdims=True))
 
         # Only rays not yet blocked keep the chunk live.
@@ -227,20 +232,21 @@ def _row_spec(ray_tile):
     return pl.BlockSpec((1, ray_tile), lambda i: (0, i), memory_space=pltpu.VMEM)
 
 
-@functools.partial(jax.jit, static_argnames=("ray_tile", "t_min"))
+@functools.partial(jax.jit, static_argnames=("ray_tile", "t_min", "precision"))
 def intersect_closest_pallas(
     packed: WoopPallas,
     origins: Vec3,
     directions: Vec3,
     t_min: float = 1e-4,
     ray_tile: int = RAY_TILE,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Closest-hit via the fused kernel.  Returns (t, tri_id, hit)."""
     tc = packed.w.shape[2] // 3
     c = packed.num_chunks
     rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
 
-    kernel = functools.partial(_closest_kernel, tc, c, t_min)
+    kernel = functools.partial(_closest_kernel, tc, c, t_min, precision)
     best_t, best_id = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -268,7 +274,7 @@ def intersect_closest_pallas(
     return jnp.where(hit, best_t, MISS_T), best_id, hit
 
 
-@functools.partial(jax.jit, static_argnames=("ray_tile", "t_min"))
+@functools.partial(jax.jit, static_argnames=("ray_tile", "t_min", "precision"))
 def intersect_any_pallas(
     packed: WoopPallas,
     origins: Vec3,
@@ -276,6 +282,7 @@ def intersect_any_pallas(
     t_min: float = 1e-4,
     t_max=3.0e37,
     ray_tile: int = RAY_TILE,
+    precision=jax.lax.Precision.HIGHEST,
 ):
     """Any-hit (occlusion) via the fused kernel.  Returns blocked (R,) bool."""
     tc = packed.w.shape[2] // 3
@@ -286,7 +293,7 @@ def intersect_any_pallas(
     t_max = jax.lax.stop_gradient(jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,)))
     t_max = jnp.pad(t_max, (0, n_tiles * ray_tile - r))[None, :]  # (1, R')
 
-    kernel = functools.partial(_any_kernel, tc, c, t_min)
+    kernel = functools.partial(_any_kernel, tc, c, t_min, precision)
     blocked = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

@@ -48,6 +48,12 @@ class RenderOptions:
     height: int = 512
     max_render_passes: int = 32  # ``PassGenerator.h:62``
     max_ray_depth: int = 10  # ``PassGenerator.h:63``
+    # Interactive 3x3 block mode (``PassGenerator.h:50-59``,
+    # ``perspective.rlsl:42-57``): each pass traces only the pixels at the
+    # current block coordinate (1/9 of the image; the rest are parked and
+    # culled), cycling through the block before advancing the sample index —
+    # the reference's trick for interactive feedback.
+    interactive_block: bool = False
     sample_mode: str = "sobol"  # ``RenderOptions::SampleMode``
     bokeh_shape: str = "circular"  # ``RenderOptions::BokehShape``
     aov: AOV = AOV.NONE
@@ -63,6 +69,9 @@ class RenderOptions:
     # Intersection backend: "auto" (fused Pallas kernels on TPU, XLA
     # elsewhere), "pallas", or "xla".
     intersect_backend: str = "auto"
+    # Pallas kernel tiling (rays per grid step, triangles per chunk).
+    pallas_ray_tile: int = 1024
+    pallas_tri_chunk: int = 512
 
     def __post_init__(self):
         assert self.max_ray_depth >= 1

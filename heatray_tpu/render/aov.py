@@ -3,7 +3,8 @@
 Ports the reference's visualizer modes (``PassGenerator.h:123-141``, shader
 branches in ``physicallyBased.rlsl:159-203`` / ``glass.rlsl:179-211`` and the
 accumulator's NaN/Inf detectors ``accumulator.rlsl:16-21``).  Surface AOVs
-evaluate at the primary hit; NaN/Inf modes transform the main render's
+evaluate at the primary hit from the gathered shading rows
+(``shade_table.HitRows``); NaN/Inf modes transform the main render's
 accumulated values instead (see integrator).  All values are planar ``Vec3``.
 """
 
@@ -12,10 +13,9 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 from ..options import AOV
-from ..scene.materials import KIND_GLASS
 from ..scene.scene import Scene
 from ..vec import Vec3
-from .shade import _gather, gather_vec, interp_attr, interp_vec
+from . import shade_table as st
 
 SURFACE_AOVS = {
     AOV.GEOMETRIC_NORMALS,
@@ -36,52 +36,44 @@ ACCUM_AOVS = {AOV.NANS, AOV.INFS}
 
 
 def compute_surface_aov(
-    scene: Scene, mode: AOV, ray_dir: Vec3, b1, b2, tid, front, hit
+    scene: Scene, mode: AOV, rows: st.HitRows, b1, b2, front, hit
 ) -> Vec3:
     """Vec3 AOV color at the primary hit (zero on miss)."""
-    geom = scene.geometry
-    mats = scene.materials
-    safe_tid = jnp.maximum(tid, 0)
     w0 = 1.0 - b1 - b2
-    mid = _gather(geom.material_ids, safe_tid)
-    kind = _gather(mats.kind, mid)
-    is_glass = kind == KIND_GLASS
+    is_glass = rows.col(st.KIND) > 0.5
 
     if mode == AOV.GEOMETRIC_NORMALS:
-        n = interp_vec(geom.normals, geom.indices, safe_tid, w0, b1, b2).normalized()
+        n = rows.interp_vec(st.N0, w0, b1, b2).normalized()
         value = (n + 1.0) * 0.5
     elif mode == AOV.FINAL_NORMALS:
-        n = interp_vec(geom.normals, geom.indices, safe_tid, w0, b1, b2).normalized()
-        double_sided = (_gather(mats.double_sided, mid) > 0) | is_glass
+        n = rows.interp_vec(st.N0, w0, b1, b2).normalized()
+        double_sided = (rows.col(st.DOUBLE_SIDED) > 0.5) | is_glass
         flip = (~front) & double_sided
         n = Vec3.where(flip, -n, n)
         value = (n + 1.0) * 0.5
     elif mode == AOV.UVS:
-        u = interp_attr(geom.uvs[0], geom.indices, safe_tid, w0, b1, b2)
-        v = interp_attr(geom.uvs[1], geom.indices, safe_tid, w0, b1, b2)
+        u, v = rows.interp_uv(w0, b1, b2)
         value = Vec3(u, v, jnp.zeros_like(u))
     elif mode == AOV.TANGENTS:
-        t = interp_vec(geom.tangents, geom.indices, safe_tid, w0, b1, b2).normalized()
+        t = rows.interp_vec(st.TAN0, w0, b1, b2).normalized()
         value = (t + 1.0) * 0.5
     elif mode == AOV.BITANGENTS:
-        t = interp_vec(
-            geom.bitangents, geom.indices, safe_tid, w0, b1, b2
-        ).normalized()
+        t = rows.interp_vec(st.BTN0, w0, b1, b2).normalized()
         value = (t + 1.0) * 0.5
     elif mode == AOV.BASE_COLOR:
-        vc = interp_vec(geom.colors, geom.indices, safe_tid, w0, b1, b2)
-        value = gather_vec(mats.base_color, mid) * vc
+        vc = rows.interp_vec(st.COL0, w0, b1, b2)
+        value = rows.vec(st.BASE_COLOR) * vc
     elif mode == AOV.EMISSIVE:
-        value = gather_vec(mats.emissive, mid)
+        value = rows.vec(st.EMISSIVE)
     elif mode == AOV.ROUGHNESS:
-        value = Vec3.splat(_gather(mats.roughness, mid))
+        value = Vec3.splat(rows.col(st.ROUGHNESS))
     elif mode == AOV.METALLIC:
-        value = Vec3.splat(_gather(mats.metallic, mid))
+        value = Vec3.splat(rows.col(st.METALLIC))
     elif mode == AOV.CLEARCOAT:
         # The reference shows the raw (conditioned) clearcoat scalar.
-        value = Vec3.splat(_gather(mats.clearcoat, mid))
+        value = Vec3.splat(rows.col(st.CLEARCOAT))
     elif mode == AOV.CLEARCOAT_ROUGHNESS:
-        value = Vec3.splat(_gather(mats.clearcoat_roughness, mid))
+        value = Vec3.splat(rows.col(st.CC_ROUGH))
     elif mode == AOV.SHADER:
         # PBR = red, glass = green (``physicallyBased.rlsl:195``,
         # ``glass.rlsl:191``).

@@ -23,7 +23,7 @@ def cosine_weighted_sample(u1, u2):
     x = r * jnp.cos(phi)
     y = jnp.sqrt(jnp.maximum(1.0 - u1, 1e-12))
     z = r * jnp.sin(phi)
-    inv = 1.0 / jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-20)
+    inv = 1.0 / jnp.sqrt(x * x + y * y + z * z + 1e-12)
     return x * inv, y * inv, z * inv
 
 
@@ -37,7 +37,7 @@ def sample_ggx(u1, u2, alpha):
     x = sin_theta * jnp.cos(phi)
     y = cos_theta
     z = sin_theta * jnp.sin(phi)
-    inv = 1.0 / jnp.maximum(jnp.sqrt(x * x + y * y + z * z), 1e-20)
+    inv = 1.0 / jnp.sqrt(x * x + y * y + z * z + 1e-12)
     return x * inv, y * inv, z * inv
 
 
@@ -53,12 +53,12 @@ def sample_visible_ggx(local_v, u1, u2, alpha):
 
     # Stretch so we sample as though alpha == 1.
     sx, sy, sz = vx * alpha, vy * alpha, vz
-    inv = 1.0 / jnp.maximum(jnp.sqrt(sx * sx + sy * sy + sz * sz), 1e-20)
+    inv = 1.0 / jnp.sqrt(sx * sx + sy * sy + sz * sz + 1e-12)
     vhx, vhy, vhz = sx * inv, sy * inv, sz * inv
 
     # Orthonormal basis about Vh.
     len_sq = square(vhx) + square(vhy)
-    inv_len = 1.0 / jnp.sqrt(jnp.maximum(len_sq, 1e-20))
+    inv_len = 1.0 / jnp.sqrt(len_sq + 1e-12)
     has = len_sq > 0.0
     t1x = jnp.where(has, -vhy * inv_len, 1.0)
     t1y = jnp.where(has, vhx * inv_len, 0.0)
@@ -84,7 +84,7 @@ def sample_visible_ggx(local_v, u1, u2, alpha):
 
     # Unstretch.
     hx, hy, hz = alpha * nhx, alpha * nhy, jnp.maximum(0.0, nhz)
-    inv = 1.0 / jnp.maximum(jnp.sqrt(hx * hx + hy * hy + hz * hz), 1e-20)
+    inv = 1.0 / jnp.sqrt(hx * hx + hy * hy + hz * hz + 1e-12)
     # Z-up -> Y-up.
     return hx * inv, hz * inv, hy * inv
 

@@ -22,6 +22,17 @@ def env_radiance(lights: LightBank, directions: Vec3) -> Vec3:
     Returns a Vec3; zero if the environment light is disabled.
     """
     d = directions
+    on = lights.env_enabled > 0
+    comp = lights.env_exposure_compensation
+    if lights.env_map.shape[1] == 1 and lights.env_map.shape[2] == 1:
+        # Solid-color / disabled environment: no gathers (static shape path).
+        zeros = jnp.zeros_like(d.x)
+        return Vec3(
+            zeros + jnp.where(on, lights.env_map[0, 0, 0] * comp, 0.0),
+            zeros + jnp.where(on, lights.env_map[1, 0, 0] * comp, 0.0),
+            zeros + jnp.where(on, lights.env_map[2, 0, 0] * comp, 0.0),
+        )
+
     theta = jnp.arctan2(d.x, -d.z) + lights.env_rotation
     theta = jnp.where(theta > TWO_PI, theta - TWO_PI, theta)
     phi = jnp.arctan2(d.y, jnp.sqrt(d.x * d.x + d.z * d.z))

@@ -26,7 +26,6 @@ from ..options import AOV, FrameGlobals, RenderOptions
 from ..ops.intersect import (
     build_woop,
     gather_geo_normal,
-    hit_attributes,
     intersect_any,
     intersect_closest,
 )
@@ -39,13 +38,18 @@ from ..sampling.tables import (
     SampleTables,
     build_tables,
     get_aperture_sample,
-    get_sequence_value,
 )
 from ..scene.scene import Scene
 from ..vec import Vec3
 from .envmap import env_radiance
-from .multiscatter import multiscatter_lut_jnp
-from .shade import shade_hits
+from .multiscatter import multiscatter_lut_packed
+from .shade import make_sequence_lookup, shade_hits
+from .shade_table import (
+    GEO_N,
+    build_shade_table,
+    gather_rows,
+    hit_attributes_rows,
+)
 
 
 @struct.dataclass
@@ -53,7 +57,7 @@ class RenderContext:
     """Per-configuration constant data (a pytree): QMC tables + LUTs."""
 
     tables: SampleTables
-    ms_lut: jnp.ndarray  # (128, 128) multiscatter LUT
+    ms_lut: jnp.ndarray  # ((L+1)^2, 4) corner-packed multiscatter LUT
 
 
 def make_context(options: RenderOptions) -> RenderContext:
@@ -65,7 +69,7 @@ def make_context(options: RenderOptions) -> RenderContext:
             sample_mode=options.sample_mode,
             bokeh_shape=options.bokeh_shape,
         ),
-        ms_lut=multiscatter_lut_jnp(),
+        ms_lut=multiscatter_lut_packed(),
     )
 
 
@@ -93,7 +97,8 @@ def generate_primary_rays(
     px = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
     py = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
 
-    ju, jv = get_sequence_value(tables, seq_id, sample_index + seq_off)
+    seq_lookup = make_sequence_lookup(tables, options.sample_mode)
+    ju, jv = seq_lookup(seq_id, sample_index + seq_off)
     u = (px + ju) / w
     v = (py + jv) / h
 
@@ -126,6 +131,23 @@ def _offset_origin(p: Vec3, geo_n: Vec3, direction: Vec3, eps) -> Vec3:
     return p + geo_n * (sign * eps)
 
 
+_PARK_ORG = 3.0e37
+
+
+def _park_dead(org: Vec3, direction: Vec3, active):
+    """Park inactive rays far outside every AABB with a +X direction whose
+    zero y/z slabs produce -inf intervals: whole tiles of dead rays then
+    fail every chunk's slab test and skip all triangle math (the wavefront
+    shrinks with depth but stays fixed-shape — this is the masked-lane
+    analog of queue compaction)."""
+    zero = jnp.zeros_like(org.x)
+    parked_o = Vec3.where(active, org, _PARK_ORG)
+    parked_d = Vec3.where(
+        active, direction, Vec3(zero + 1.0, zero, zero)
+    )
+    return parked_o, parked_d
+
+
 def _use_pallas(options: RenderOptions, num_triangles: int) -> bool:
     """Backend select: fused Pallas kernels on TPU-like platforms (the
     triangle table must fit VMEM), XLA tiled path elsewhere."""
@@ -137,14 +159,63 @@ def _use_pallas(options: RenderOptions, num_triangles: int) -> bool:
     return on_tpu and num_triangles <= 250_000
 
 
-def _make_intersectors(accel, options: RenderOptions):
+def _occluder_accel(accel, scene: Scene):
+    """Filter alpha-masked triangles out of the occlusion accel: the
+    reference marks alpha-masked primitives non-occluder
+    (``Mesh.cpp:95-100``), so they never block shadow rays.  Zeroed Woop
+    rows give dp_s == 0 -> never hit; their AABBs become empty."""
+    mask = jnp.take(scene.materials.alpha_mask, scene.geometry.material_ids) == 0
+    big = jnp.float32(3.0e38)
+    return accel.replace(
+        w=accel.w * mask[None, :].astype(jnp.float32),
+        tri_min=jnp.where(mask[None, :], accel.tri_min, big),
+        tri_max=jnp.where(mask[None, :], accel.tri_max, -big),
+    )
+
+
+def _wavefront_lane(r: int) -> int:
+    """Lane width for the 2D wavefront: flat (R,) arrays use 1/8 of the VPU
+    (one sublane); (R/lane, lane) tiles fully (measured 3.9x on v5e)."""
+    lane = 1024
+    while lane > 1 and r % lane:
+        lane //= 2
+    return lane
+
+
+def _shape_wrap(fn_flat):
+    """Lift a flat-wavefront intersector to arbitrary ray shapes."""
+
+    def fn(org, direction, *args):
+        shp = org.x.shape
+        flat = lambda v: Vec3(
+            v.x.reshape(-1), v.y.reshape(-1), v.z.reshape(-1)
+        )
+        args = tuple(
+            a.reshape(-1) if hasattr(a, "reshape") and jnp.ndim(a) > 1 else a
+            for a in args
+        )
+        out = fn_flat(flat(org), flat(direction), *args)
+        if isinstance(out, tuple):
+            return tuple(o.reshape(shp) for o in out)
+        return out.reshape(shp)
+
+    return fn
+
+
+def _make_intersectors(accel, occl_accel, options: RenderOptions):
     """Returns (closest, any) callables with a uniform signature."""
     if _use_pallas(options, accel.w.shape[1]):
-        packed = pack_for_pallas(accel)
+        tc, rt = options.pallas_tri_chunk, options.pallas_ray_tile
+        packed = pack_for_pallas(accel, tri_chunk=tc)
+        packed_occl = (
+            packed
+            if occl_accel is accel
+            else pack_for_pallas(occl_accel, tri_chunk=tc)
+        )
 
         def closest(org, direction, t_min):
             t, tid, hit = intersect_closest_pallas(
-                packed, org, direction, t_min=t_min
+                packed, org, direction, t_min=t_min, ray_tile=rt
             )
             # Front-facing = approaching against the geometric normal.
             n = gather_geo_normal(accel, tid)
@@ -153,7 +224,8 @@ def _make_intersectors(accel, options: RenderOptions):
 
         def any_hit(org, direction, t_min, t_max):
             return intersect_any_pallas(
-                packed, org, direction, t_min=t_min, t_max=t_max
+                packed_occl, org, direction, t_min=t_min, t_max=t_max,
+                ray_tile=rt,
             )
 
     else:
@@ -166,22 +238,27 @@ def _make_intersectors(accel, options: RenderOptions):
 
         def any_hit(org, direction, t_min, t_max):
             return intersect_any(
-                accel, org, direction, t_min=t_min, t_max=t_max,
+                occl_accel, org, direction, t_min=t_min, t_max=t_max,
                 tri_chunk=options.tri_chunk, ray_block=options.ray_block,
             )
 
-    return closest, any_hit
+    return _shape_wrap(closest), _shape_wrap(any_hit)
 
 
-def _accum_update(contrib: Vec3, h: int, w: int) -> jnp.ndarray:
-    """Flat per-pixel contribution -> planar (4, H, W) update (channel 3 = 1
-    pass per pixel)."""
+def _accum_update(contrib: Vec3, h: int, w: int, alpha=None) -> jnp.ndarray:
+    """Flat per-pixel contribution -> planar (4, H, W) update (channel 3 =
+    passes per pixel; 1 everywhere unless ``alpha`` gives a per-pixel
+    count, as in interactive block mode)."""
+    if alpha is None:
+        alpha_img = jnp.ones((h, w), jnp.float32)
+    else:
+        alpha_img = alpha.reshape(h, w).astype(jnp.float32)
     return jnp.stack(
         [
             contrib.x.reshape(h, w),
             contrib.y.reshape(h, w),
             contrib.z.reshape(h, w),
-            jnp.ones((h, w), jnp.float32),
+            alpha_img,
         ],
         axis=0,
     )
@@ -206,16 +283,48 @@ def render_pass(
     h, w = options.height, options.width
     eps = options.ray_epsilon
     accel = build_woop(scene.geometry.positions, scene.geometry.indices)
-    closest_fn, any_fn = _make_intersectors(accel, options)
+    occl_accel = _occluder_accel(accel, scene) if scene.has_alpha_mask else accel
+    closest_fn, any_fn = _make_intersectors(accel, occl_accel, options)
+    shade_table = build_shade_table(scene, accel)
+
+    # Interactive 3x3 block mode: pass k traces block pixel k % 9, and the
+    # QMC sample index advances every 9 passes (``PassGenerator.cpp:372-384``).
+    if options.interactive_block:
+        block = jnp.remainder(frame.sample_index, 9)
+        sample_index = frame.sample_index // 9
+    else:
+        block = None
+        sample_index = frame.sample_index
 
     org, direction, seq_id, seq_off = generate_primary_rays(
-        camera, ctx.tables, options, frame.sample_index
+        camera, ctx.tables, options, sample_index
     )
-    r = org.x.shape[0]
-    weight = Vec3.ones((r,))
-    env_on_miss = jnp.ones((r,), bool)  # camera rays see the env on miss
-    active = jnp.ones((r,), bool)
-    contrib = Vec3.zeros((r,))
+    r = h * w
+    # 2D wavefront: (R/lane, lane) tiles the VPU fully (flat (R,) arrays
+    # run on one sublane — measured 3.9x slower on v5e).
+    lane = _wavefront_lane(r)
+    shape2 = (r // lane, lane)
+    org = org.map(lambda c: c.reshape(shape2))
+    direction = direction.map(lambda c: c.reshape(shape2))
+    seq_id = seq_id.reshape(shape2)
+    seq_off = seq_off.reshape(shape2)
+    weight = Vec3.ones(shape2)
+    env_on_miss = jnp.ones(shape2, bool)  # camera rays see the env on miss
+    active = jnp.ones(shape2, bool)
+    contrib = Vec3.zeros(shape2)
+    alpha = None
+
+    if block is not None:
+        # Select the pixels at the current 3x3 block coordinate
+        # (``perspective.rlsl:42-57``); everyone else is parked (culled).
+        px = jnp.tile(jnp.arange(w, dtype=jnp.int32), h).reshape(shape2)
+        py = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w).reshape(shape2)
+        selected = (jnp.remainder(px, 3) == jnp.remainder(block, 3)) & (
+            jnp.remainder(py, 3) == block // 3
+        )
+        active = selected
+        org, direction = _park_dead(org, direction, active)
+        alpha = selected
 
     # Surface-attribute AOVs short-circuit after the primary hit
     # (``physicallyBased.rlsl:159-203``).
@@ -223,9 +332,10 @@ def render_pass(
 
     if options.aov in SURFACE_AOVS:
         t, tid, front, hit = closest_fn(org, direction, eps)
-        _, b1, b2 = hit_attributes(accel, org, direction, tid, hit)
+        rows = gather_rows(shade_table, jnp.maximum(tid, 0))
+        _, b1, b2 = hit_attributes_rows(rows, org, direction, hit)
         value = compute_surface_aov(
-            scene, options.aov, direction, b1, b2, tid, front, hit
+            scene, options.aov, rows, b1, b2, front, hit
         )
         update = _accum_update(value, h, w)
         if with_stats:
@@ -251,16 +361,19 @@ def render_pass(
         env_c = env_radiance(scene.lights, direction) * weight
         contrib = contrib + Vec3.where(miss_env, clamp(env_c), 0.0)
 
-        # Differentiable hit attributes; sanitize t for dead lanes so no
+        # ONE fat row gather per bounce fetches everything shading needs
+        # (see shade_table.py); differentiable hit attributes re-evaluate
+        # from the gathered Woop rows; sanitize t for dead lanes so no
         # NaN/Inf flows through the masked math.
-        t_d, b1, b2 = hit_attributes(accel, org, direction, tid, hit)
+        rows = gather_rows(shade_table, jnp.maximum(tid, 0))
+        t_d, b1, b2 = hit_attributes_rows(rows, org, direction, hit)
         t_sane = jnp.where(hit, t_d, 1.0)
 
         res = shade_hits(
             scene,
             ctx.ms_lut,
             ctx.tables,
-            frame.sample_index,
+            sample_index,
             depth,
             org,
             direction,
@@ -268,25 +381,28 @@ def render_pass(
             env_on_miss,
             seq_id,
             seq_off,
+            rows,
             t_sane,
             b1,
             b2,
-            tid,
             front,
             hit,
             max_ray_depth=options.max_ray_depth,
             rr_start_depth=options.rr_start_depth,
+            sample_mode=options.sample_mode,
         )
         contrib = contrib + clamp(res.emission)
 
         p = org + direction * t_sane
-        geo_n = gather_geo_normal(accel, tid)
+        geo_n = rows.vec(GEO_N)
 
         # NEE shadow rays (occlusion query with per-ray maxT).
-        s_org = _offset_origin(p, geo_n, res.shadow_dir, eps)
-        blocked = any_fn(
-            s_org, res.shadow_dir, eps, res.shadow_max_t - 2.0 * eps
+        s_org, s_dir = _park_dead(
+            _offset_origin(p, geo_n, res.shadow_dir, eps),
+            res.shadow_dir,
+            res.shadow_active,
         )
+        blocked = any_fn(s_org, s_dir, eps, res.shadow_max_t - 2.0 * eps)
         lit = res.shadow_active & (~blocked)
         contrib = contrib + Vec3.where(
             lit, clamp(res.shadow_weight * res.shadow_radiance), 0.0
@@ -299,11 +415,15 @@ def render_pass(
             + jnp.sum(res.shadow_active.astype(jnp.int32))
         )
 
-        # Extension rays.
-        e_org = _offset_origin(p, geo_n, res.ext_dir, eps)
+        # Extension rays (dead lanes parked out of every AABB).
+        e_org, e_dir = _park_dead(
+            _offset_origin(p, geo_n, res.ext_dir, eps),
+            res.ext_dir,
+            res.ext_active,
+        )
         new_carry = (
             e_org,
-            res.ext_dir,
+            e_dir,
             res.ext_weight,
             res.ext_env_on_miss,
             res.ext_active,
@@ -316,7 +436,7 @@ def render_pass(
     init = (org, direction, weight, env_on_miss, active, contrib, jnp.int32(0))
     (_, _, _, _, _, contrib, ray_count), _ = jax.lax.scan(bounce, init, depths)
 
-    update = _accum_update(contrib, h, w)
+    update = _accum_update(contrib, h, w, alpha=alpha)
     if with_stats:
         return accum + update, {"rays": ray_count}
     return accum + update

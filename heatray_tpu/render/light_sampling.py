@@ -64,10 +64,8 @@ class LightSample:
 
 
 def _lum_rows(colors):
-    """(S, 3) light colors -> (S, 1) luminosity column."""
-    return (
-        colors[:, 0] * 0.33 + colors[:, 1] * 0.59 + colors[:, 2] * 0.11
-    )[:, None]
+    """(S, 3) light colors -> (S,) luminosity column."""
+    return colors[:, 0] * 0.33 + colors[:, 1] * 0.59 + colors[:, 2] * 0.11
 
 
 def compute_light_sample(
@@ -80,89 +78,96 @@ def compute_light_sample(
     already includes distance attenuation and spot falloff so the caller only
     multiplies by the shadow-ray weight when unoccluded.
 
-    All slot matrices are (S, R): slots on sublanes, rays on lanes.
+    All slot matrices are (S, *ray_shape): slots on the leading axis, the
+    ray dimensions trailing (shape-agnostic so 2D wavefronts work).
     """
-    r = n.x.shape[0]
+    shape = n.x.shape
+    nd = len(shape)
     inf = jnp.float32(3.0e38)
 
-    nx, ny, nz = n.x[None, :], n.y[None, :], n.z[None, :]  # (1, R)
-    px, py, pz = p.x[None, :], p.y[None, :], p.z[None, :]
+    def _bc(col):
+        """(S,) light column -> (S, 1, ..., 1) broadcast shape."""
+        return col.reshape(col.shape[0], *([1] * nd))
 
-    # --- Directional slots (D, R) -----------------------------------------
+    nx, ny, nz = n.x[None], n.y[None], n.z[None]  # (1, *shape)
+    px, py, pz = p.x[None], p.y[None], p.z[None]
+
+    # --- Directional slots (D, *shape) ------------------------------------
     dd = lights.dir_direction  # (D, 3) toward light
-    active_d = (jnp.arange(_ND) < lights.num_directional)[:, None]
-    ndl_d = dd[:, 0:1] * nx + dd[:, 1:2] * ny + dd[:, 2:3] * nz
-    w_dir = saturate(ndl_d) * _lum_rows(lights.dir_color)
+    active_d = _bc(jnp.arange(_ND) < lights.num_directional)
+    ndl_d = _bc(dd[:, 0]) * nx + _bc(dd[:, 1]) * ny + _bc(dd[:, 2]) * nz
+    w_dir = saturate(ndl_d) * _bc(_lum_rows(lights.dir_color))
     w_dir = jnp.where(active_d, w_dir, 0.0)
 
-    # --- Point slots (P, R) ------------------------------------------------
+    # --- Point slots (P, *shape) -------------------------------------------
     pp = lights.point_position  # (P, 3)
-    active_p = (jnp.arange(_NP) < lights.num_point)[:, None]
-    tpx = pp[:, 0:1] - px
-    tpy = pp[:, 1:2] - py
-    tpz = pp[:, 2:3] - pz
+    active_p = _bc(jnp.arange(_NP) < lights.num_point)
+    tpx = _bc(pp[:, 0]) - px
+    tpy = _bc(pp[:, 1]) - py
+    tpz = _bc(pp[:, 2]) - pz
     point_dist = jnp.sqrt(tpx * tpx + tpy * tpy + tpz * tpz)
     inv_pd = 1.0 / greater_than_zero(point_dist)
     pdx, pdy, pdz = tpx * inv_pd, tpy * inv_pd, tpz * inv_pd
     ndl_p = pdx * nx + pdy * ny + pdz * nz
-    w_point = saturate(ndl_p) * _lum_rows(lights.point_color)
+    w_point = saturate(ndl_p) * _bc(_lum_rows(lights.point_color))
     w_point = jnp.where(active_p, w_point, 0.0)
 
-    # --- Spot slots (S, R) ---------------------------------------------------
+    # --- Spot slots (S, *shape) ----------------------------------------------
     sp = lights.spot_position
     sd = lights.spot_direction  # emission direction
-    active_s = (jnp.arange(_NS) < lights.num_spot)[:, None]
-    tsx = sp[:, 0:1] - px
-    tsy = sp[:, 1:2] - py
-    tsz = sp[:, 2:3] - pz
+    active_s = _bc(jnp.arange(_NS) < lights.num_spot)
+    tsx = _bc(sp[:, 0]) - px
+    tsy = _bc(sp[:, 1]) - py
+    tsz = _bc(sp[:, 2]) - pz
     spot_dist = jnp.sqrt(tsx * tsx + tsy * tsy + tsz * tsz)
     inv_sd = 1.0 / greater_than_zero(spot_dist)
     sdx, sdy, sdz = tsx * inv_sd, tsy * inv_sd, tsz * inv_sd
     # Cone terms (``lightSampling.rlsl:60-65``): angle between the emission
     # direction and light->surface (= -to_light).
-    ray_angle = -(sd[:, 0:1] * sdx + sd[:, 1:2] * sdy + sd[:, 2:3] * sdz)
-    inner = lights.spot_cos_angles[:, 0:1]
-    outer = lights.spot_cos_angles[:, 1:2]
+    ray_angle = -(_bc(sd[:, 0]) * sdx + _bc(sd[:, 1]) * sdy + _bc(sd[:, 2]) * sdz)
+    inner = _bc(lights.spot_cos_angles[:, 0])
+    outer = _bc(lights.spot_cos_angles[:, 1])
     vis = jnp.where(ray_angle > 0.0, 1.0, 0.0) * jnp.where(
         ray_angle < outer, 0.0, 1.0
     )
     spot_fall = 1.0 - glsl_smoothstep(inner, outer, ray_angle)
     cone = vis * spot_fall
     ndl_s = sdx * nx + sdy * ny + sdz * nz
-    w_spot = saturate(ndl_s) * _lum_rows(lights.spot_color) * cone
+    w_spot = saturate(ndl_s) * _bc(_lum_rows(lights.spot_color)) * cone
     w_spot = jnp.where(active_s, w_spot, 0.0)
 
     # Environment importance hack: ``50 * exposureCompensation``.
     w_env = jnp.where(
         lights.env_enabled > 0, 50.0 * lights.env_exposure_compensation, 0.0
     )
-    w_env = jnp.broadcast_to(w_env, (r,))
+    w_env = jnp.broadcast_to(w_env, shape)
 
-    w_all = jnp.concatenate([w_dir, w_point, w_spot], axis=0)  # (S, R)
+    w_all = jnp.concatenate([w_dir, w_point, w_spot], axis=0)  # (S, *shape)
     total = jnp.sum(w_all, axis=0) + w_env
     norm = 1.0 / greater_than_zero(total)
-    probs = w_all * norm[None, :]
+    probs = w_all * norm[None]
     env_prob = w_env * norm
 
     # --- Selection: first slot with prob > 0 and u <= cdf ----------------
     cdf = jnp.cumsum(probs, axis=0)
-    eligible = (u[None, :] <= cdf) & (probs > 0.0)
+    eligible = (u[None] <= cdf) & (probs > 0.0)
     any_punctual = jnp.any(eligible, axis=0)
     slot = jnp.argmax(eligible, axis=0)  # first True (0 if none)
 
     # --- Gather the chosen light's data (take_along_axis over slots) -------
-    ones_r = jnp.ones((1, r), jnp.float32)
+    ones_r = jnp.ones((1, *shape), jnp.float32)
 
     def cat_rows(d_col, p_rows, s_rows):
         return jnp.concatenate(
-            [jnp.broadcast_to(d_col, (_ND, r)), p_rows, s_rows], axis=0
+            [jnp.broadcast_to(_bc(d_col), (_ND, *shape)), p_rows, s_rows],
+            axis=0,
         )
 
-    cand_dx = cat_rows(dd[:, 0:1], pdx, sdx)  # (S, R)
-    cand_dy = cat_rows(dd[:, 1:2], pdy, sdy)
-    cand_dz = cat_rows(dd[:, 2:3], pdz, sdz)
+    cand_dx = cat_rows(dd[:, 0], pdx, sdx)  # (S, *shape)
+    cand_dy = cat_rows(dd[:, 1], pdy, sdy)
+    cand_dz = cat_rows(dd[:, 2], pdz, sdz)
     cand_dist = jnp.concatenate(
-        [jnp.full((_ND, r), inf), point_dist, spot_dist], axis=0
+        [jnp.full((_ND, *shape), inf), point_dist, spot_dist], axis=0
     )
     cand_type = jnp.concatenate(
         [
@@ -186,14 +191,14 @@ def compute_light_sample(
     def cand_rad(ch):
         return jnp.concatenate(
             [
-                lights.dir_color[:, ch : ch + 1] * ones_r,
-                lights.point_color[:, ch : ch + 1] * inv_pd2,
-                lights.spot_color[:, ch : ch + 1] * spot_att,
+                _bc(lights.dir_color[:, ch]) * ones_r,
+                _bc(lights.point_color[:, ch]) * inv_pd2,
+                _bc(lights.spot_color[:, ch]) * spot_att,
             ],
             axis=0,
         )
 
-    idx = slot[None, :]  # (1, R)
+    idx = slot[None]  # (1, *shape)
 
     def pick(rows):
         return jnp.take_along_axis(rows, idx, axis=0)[0]
@@ -209,7 +214,7 @@ def compute_light_sample(
     sel_type = jnp.take(cand_type, slot)
 
     # Environment fall-through.
-    zero = jnp.zeros((r,), jnp.float32)
+    zero = jnp.zeros(shape, jnp.float32)
     light_type = jnp.where(any_punctual, sel_type, LIGHT_TYPE_ENVIRONMENT)
     probability = jnp.where(any_punctual, sel_prob, env_prob)
     direction = Vec3.where(

@@ -82,8 +82,46 @@ def multiscatter_lut_jnp() -> jnp.ndarray:
     return jnp.asarray(generate_multiscatter_lut())
 
 
-def compute_multiscattering(lut: jnp.ndarray, c_spec, n_dot_i, roughness):
+@functools.lru_cache(maxsize=1)
+def _packed_lut_np() -> np.ndarray:
+    """Bilinear-corner-packed LUT: row (y0+1)*(L+1) + (x0+1) holds the four
+    clamped corner texels [c00, c10, c01, c11] of cell (x0, y0), so one ROW
+    gather replaces four scattered texel gathers (TPU gathers pay per fetch,
+    not per byte).  Exactly reproduces ``texture.sample_bilinear_scalar``'s
+    clamped corner indexing."""
+    lut = generate_multiscatter_lut()
+    pad = np.pad(lut, 1, mode="edge")  # pad[a, b] = lut[clip(a-1), clip(b-1)]
+    lp1 = LUT_SIZE + 1
+    rows = np.empty((lp1 * lp1, 4), np.float32)
+    rows[:, 0] = pad[:lp1, :lp1].reshape(-1)      # c00 = [y0,   x0  ]
+    rows[:, 1] = pad[:lp1, 1:].reshape(-1)        # c10 = [y0,   x0+1]
+    rows[:, 2] = pad[1:, :lp1].reshape(-1)        # c01 = [y0+1, x0  ]
+    rows[:, 3] = pad[1:, 1:].reshape(-1)          # c11 = [y0+1, x0+1]
+    return rows
+
+
+def multiscatter_lut_packed() -> jnp.ndarray:
+    """((L+1)^2, 4) corner-packed LUT for ``compute_multiscattering``."""
+    return jnp.asarray(_packed_lut_np())
+
+
+def compute_multiscattering(packed_lut: jnp.ndarray, c_spec, n_dot_i, roughness):
     """``f_ms = 1 + Cspec * LUT(NdotI, roughness)``
-    (``microfacet.rlsl:17-23``); lut is (L, L), c_spec a Vec3."""
-    val = sample_bilinear_scalar(lut, n_dot_i, roughness)
+    (``microfacet.rlsl:17-23``); ``packed_lut`` from
+    ``multiscatter_lut_packed``, c_spec a Vec3."""
+    lp1_sq = packed_lut.shape[0]
+    lp1 = int(round(lp1_sq ** 0.5))
+    size = lp1 - 1
+    x = n_dot_i * size - 0.5
+    y = roughness * size - 0.5
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    fx = x - x0
+    fy = y - y0
+    key = (y0.astype(jnp.int32) + 1) * lp1 + (x0.astype(jnp.int32) + 1)
+    rows = jnp.take(packed_lut, key, axis=0, mode="clip")  # (*shape, 4)
+    c00, c10, c01, c11 = rows[..., 0], rows[..., 1], rows[..., 2], rows[..., 3]
+    top = c00 + (c10 - c00) * fx
+    bot = c01 + (c11 - c01) * fx
+    val = top + (bot - top) * fy
     return 1.0 + c_spec * val

@@ -16,10 +16,14 @@ Ports the estimator structure of ``Resources/shaders/physicallyBased.rlsl``,
   primitive is null — only camera rays and glass refraction rays see the
   environment on miss, ``perspective.rlsl:87``, ``glass.rlsl:254``),
 - sequence-index stratification offsets per purpose (+0 sample, +1 lobe/light
-  select, +2 RR, +3 indirect sample, +4 indirect lobe select).
+  select, +2 RR, +3 indirect sample, +4 indirect lobe select),
+- the seven PBR texture slots, normal/clearcoat-normal mapping, and alpha
+  masking (``physicallyBased.rlsl:56-157``).
 
-All per-ray vectors/colors are planar ``Vec3`` (three flat (R,) component
-arrays — see ``heatray_tpu.vec``); scalars are plain (R,) arrays.
+Memory-system design: all per-hit data arrives pre-gathered in ONE row-table
+fetch (``shade_table.HitRows`` — see that module for why); QMC samples are
+recomputed on-device for the Sobol family instead of gathered; per-ray
+vectors/colors are planar ``Vec3`` (see ``heatray_tpu.vec``).
 """
 
 from __future__ import annotations
@@ -27,12 +31,13 @@ from __future__ import annotations
 import jax.numpy as jnp
 from flax import struct
 
+from ..sampling.qmc_fly import sobol_value
 from ..sampling.tables import SampleTables, get_sequence_value
 from ..scene.lights import LIGHT_TYPE_ENVIRONMENT, LIGHT_TYPE_NONE
-from ..scene.materials import KIND_GLASS
 from ..scene.scene import Scene
+from ..scene.textures import sample_atlas
 from ..vec import Vec3
-from . import brdf
+from . import brdf, shade_table as st
 from .bsdf_sampling import cosine_weighted_sample, refract, sample_visible_ggx
 from .envmap import env_radiance
 from .light_sampling import compute_light_sample
@@ -67,37 +72,13 @@ class ShadeResult:
     ext_active: jnp.ndarray  # (R,) bool
 
 
-def _gather(arr, idx):
-    return jnp.take(arr, idx)
-
-
-def gather_vec(planar, idx) -> Vec3:
-    """Gather rows of a planar (3, N) array into a Vec3 of (R,)."""
-    return Vec3(
-        jnp.take(planar[0], idx), jnp.take(planar[1], idx), jnp.take(planar[2], idx)
-    )
-
-
-def interp_attr(attr_row, indices, tid, w0, b1, b2):
-    """Barycentric interpolation of ONE attribute component (flat (V,) array)
-    over hit triangles; ``indices`` is (3, T)."""
-    i0 = jnp.take(indices[0], tid)
-    i1 = jnp.take(indices[1], tid)
-    i2 = jnp.take(indices[2], tid)
-    return (
-        jnp.take(attr_row, i0) * w0
-        + jnp.take(attr_row, i1) * b1
-        + jnp.take(attr_row, i2) * b2
-    )
-
-
-def interp_vec(attr, indices, tid, w0, b1, b2) -> Vec3:
-    """Barycentric interpolation of a planar (3, V) vertex attribute."""
-    return Vec3(
-        interp_attr(attr[0], indices, tid, w0, b1, b2),
-        interp_attr(attr[1], indices, tid, w0, b1, b2),
-        interp_attr(attr[2], indices, tid, w0, b1, b2),
-    )
+def make_sequence_lookup(tables: SampleTables, sample_mode: str):
+    """Returns ``(seq, idx) -> (u, v)``: pure VPU recompute for sobol (no
+    memory traffic), table gather otherwise."""
+    if sample_mode == "sobol":
+        s, length = tables.num_sequences, tables.sequence_length
+        return lambda seq, idx: sobol_value(seq, idx, s, length)
+    return lambda seq, idx: get_sequence_value(tables, seq, idx)
 
 
 def shade_hits(
@@ -112,41 +93,70 @@ def shade_hits(
     env_on_miss,
     seq_id,
     seq_off,
+    rows: st.HitRows,
     t,
     b1,
     b2,
-    tid,
     front,
     active,
     max_ray_depth: int,
     rr_start_depth: int = 3,
+    sample_mode: str = "sobol",
 ) -> ShadeResult:
     """Shade one wavefront of surface hits (masked by ``active``)."""
-    geom = scene.geometry
-    mats = scene.materials
     lights = scene.lights
 
-    safe_tid = jnp.maximum(tid, 0)
     w0 = 1.0 - b1 - b2
     p = org + ray_dir * t
-    n_shading = interp_vec(geom.normals, geom.indices, safe_tid, w0, b1, b2).normalized()
-    vtx_color = interp_vec(geom.colors, geom.indices, safe_tid, w0, b1, b2)
+    n_shading = rows.interp_vec(st.N0, w0, b1, b2).normalized()
+    vtx_color = rows.interp_vec(st.COL0, w0, b1, b2)
 
-    mid = _gather(geom.material_ids, safe_tid)
-    kind = _gather(mats.kind, mid)
-    is_glass = kind == KIND_GLASS
-    base_color = gather_vec(mats.base_color, mid) * vtx_color
-    emissive_c = gather_vec(mats.emissive, mid)
-    metallic = _gather(mats.metallic, mid)
-    roughness = _gather(mats.roughness, mid)
-    alpha = _gather(mats.roughness_alpha, mid)
-    spec_f0 = _gather(mats.specular_f0, mid)
-    clearcoat = _gather(mats.clearcoat, mid)
-    cc_rough = _gather(mats.clearcoat_roughness, mid)
-    cc_alpha = _gather(mats.clearcoat_roughness_alpha, mid)
-    ior = _gather(mats.ior, mid)
-    density = _gather(mats.density, mid)
-    double_sided = _gather(mats.double_sided, mid) > 0
+    is_glass = rows.col(st.KIND) > 0.5
+    base_color = rows.vec(st.BASE_COLOR) * vtx_color
+    emissive_c = rows.vec(st.EMISSIVE)
+    metallic = rows.col(st.METALLIC)
+    roughness = rows.col(st.ROUGHNESS)
+    alpha = rows.col(st.ROUGHNESS_ALPHA)
+    spec_f0 = rows.col(st.SPECULAR_F0)
+    clearcoat = rows.col(st.CLEARCOAT)
+    cc_rough = rows.col(st.CC_ROUGH)
+    cc_alpha = rows.col(st.CC_ALPHA)
+    ior = rows.col(st.IOR)
+    density = rows.col(st.DENSITY)
+    double_sided = rows.col(st.DOUBLE_SIDED) > 0.5
+
+    # --- Textures (``physicallyBased.rlsl:56-157``, ``glass.rlsl:145-175``)
+    # Statically skipped for texture-free scenes.
+    alpha_texel = jnp.ones_like(t)
+    if scene.has_textures:
+        uv_u, uv_v = rows.interp_uv(w0, b1, b2)
+        atlas = scene.atlas
+
+        bc_tex = rows.icol(st.BC_TEX)
+        has_bc = bc_tex >= 0
+        bcr, bcg, bcb, bca = sample_atlas(atlas, bc_tex, uv_u, uv_v)
+        base_color = base_color * Vec3.where(has_bc, Vec3(bcr, bcg, bcb), 1.0)
+        alpha_texel = jnp.where(has_bc, bca, 1.0)
+
+        mr_tex = rows.icol(st.MR_TEX)
+        has_mr = mr_tex >= 0
+        _, mr_g, mr_b, _ = sample_atlas(atlas, mr_tex, uv_u, uv_v)
+        metallic = jnp.where(has_mr, metallic * mr_b, metallic)
+        roughness = jnp.where(has_mr, roughness * mr_g, roughness)
+        alpha = jnp.where(has_mr, roughness * roughness, alpha)
+
+        em_tex = rows.icol(st.EM_TEX)
+        em_r, em_g, em_b, _ = sample_atlas(atlas, em_tex, uv_u, uv_v)
+        # The reference REPLACES emissive with the texture (``:154-157``).
+        emissive_c = Vec3.where(em_tex >= 0, Vec3(em_r, em_g, em_b), emissive_c)
+
+        cc_tex = rows.icol(st.CC_TEX)
+        ccr_tex = rows.icol(st.CCR_TEX)
+        cc_texel = sample_atlas(atlas, cc_tex, uv_u, uv_v, num_channels=1)[0]
+        ccr_texel = sample_atlas(atlas, ccr_tex, uv_u, uv_v, num_channels=1)[0]
+        clearcoat = jnp.where(cc_tex >= 0, clearcoat * cc_texel, clearcoat)
+        cc_rough = jnp.where(ccr_tex >= 0, cc_rough * ccr_texel, cc_rough)
+        cc_alpha = jnp.where(ccr_tex >= 0, cc_rough * cc_rough, cc_alpha)
 
     v = -ray_dir  # unit (ray_dir is unit)
 
@@ -156,7 +166,34 @@ def shade_hits(
     # flips on backface (``glass.rlsl:161-167``).
     flip = (~front) & (double_sided | is_glass)
     n = Vec3.where(flip, -n_shading, n_shading)
-    pbr_passthrough = (~front) & (~double_sided) & (~is_glass)
+    # Alpha-masked texels pass the ray through unchanged
+    # (``physicallyBased.rlsl:70-91``; PBR only).
+    alpha_mask_on = rows.col(st.ALPHA_MASK) > 0.5
+    alpha_passthrough = alpha_mask_on & (alpha_texel < 1.0) & (~is_glass)
+    pbr_passthrough = (
+        ((~front) & (~double_sided) & (~is_glass)) | alpha_passthrough
+    )
+
+    cc_n = n
+    if scene.has_textures:
+        # --- Normal mapping (``physicallyBased.rlsl:110-126``) ------------
+        nm_tex = rows.icol(st.NM_TEX)
+        ccn_tex = rows.icol(st.CCN_TEX)
+        tang = rows.interp_vec(st.TAN0, w0, b1, b2).normalized()
+        bitang = rows.interp_vec(st.BTN0, w0, b1, b2).normalized()
+        nm_r, nm_g, nm_b, _ = sample_atlas(atlas, nm_tex, uv_u, uv_v)
+        ts = Vec3(nm_r, nm_g, nm_b) * 2.0 - 1.0
+        n_mapped = (tang * ts.x + bitang * ts.y + n * ts.z).normalized()
+        # Clearcoat normal comes from the PRE-normalmap surface normal
+        # (``physicallyBased.rlsl:111,119-126``).
+        ccn_r, ccn_g, ccn_b, _ = sample_atlas(atlas, ccn_tex, uv_u, uv_v)
+        cts = Vec3(ccn_r, ccn_g, ccn_b) * 2.0 - 1.0
+        cc_n = Vec3.where(
+            ccn_tex >= 0,
+            (tang * cts.x + bitang * cts.y + n * cts.z).normalized(),
+            n,
+        )
+        n = Vec3.where(nm_tex >= 0, n_mapped, n)
 
     # Glass Beer's-law absorption when exiting the medium
     # (``glass.rlsl:131-136``).
@@ -165,11 +202,12 @@ def shade_hits(
     glass_weight = Vec3.where(is_glass & ~front, weight * beer, weight)
 
     # --- QMC draws: 5 consecutive sequences -------------------------------
+    seq_lookup = make_sequence_lookup(tables, sample_mode)
     sidx = sample_index + seq_off
     rnd_u = []
     rnd_v = []
     for k in range(5):
-        u, vv = get_sequence_value(tables, seq_id + depth + k, sidx)
+        u, vv = seq_lookup(seq_id + depth + k, sidx)
         rnd_u.append(u)
         rnd_v.append(vv)
 
@@ -179,7 +217,7 @@ def shade_hits(
     # ======================================================================
     # PBR lobes (``physicallyBased.rlsl:205-330``)
     # ======================================================================
-    cc_n_dot_v = n_dot_v  # clearcoat normal == N (no clearcoat normalmap yet)
+    cc_n_dot_v = saturate(cc_n.dot(v))
     cc_f = brdf.f_schlick(0.04, cc_n_dot_v)
     cc_scale = cc_f * clearcoat
     bottom = 1.0 - cc_scale
@@ -428,8 +466,8 @@ def shade_hits(
     ext_ok = jnp.where(is_glass, glass_ext_ok, pbr_ext_ok)
     ext_env = jnp.where(is_glass, glass_ext_env, False)
 
-    # Single-sided PBR backface: pass through unchanged
-    # (``physicallyBased.rlsl:102-107``).
+    # Single-sided PBR backface / alpha-masked texel: pass through unchanged
+    # (``physicallyBased.rlsl:70-91,102-107``).
     ext_dir = Vec3.where(pbr_passthrough, ray_dir, ext_dir)
     ext_w = Vec3.where(pbr_passthrough, weight, ext_w)
     ext_ok = jnp.where(pbr_passthrough, True, ext_ok)

@@ -50,10 +50,10 @@ def sample_bilinear_planar(image: jnp.ndarray, u, v, wrap_u=False, wrap_v=False)
     out = []
     for ch in range(c):
         f = flat[ch]
-        c00 = jnp.take(f, i00)
-        c10 = jnp.take(f, i10)
-        c01 = jnp.take(f, i01)
-        c11 = jnp.take(f, i11)
+        c00 = jnp.take(f, i00, mode="clip")
+        c10 = jnp.take(f, i10, mode="clip")
+        c01 = jnp.take(f, i01, mode="clip")
+        c11 = jnp.take(f, i11, mode="clip")
         top = c00 + (c10 - c00) * fx
         bot = c01 + (c11 - c01) * fx
         out.append(top + (bot - top) * fy)

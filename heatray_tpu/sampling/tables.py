@@ -124,7 +124,8 @@ def get_sequence_value(tables: SampleTables, sequence_index, sample_index):
     seq = jnp.remainder(sequence_index, s)
     idx = jnp.remainder(sample_index, length)
     entry = seq * length + idx
-    return jnp.take(tables.seq_u, entry), jnp.take(tables.seq_v, entry)
+    return (jnp.take(tables.seq_u, entry, mode="clip"),
+            jnp.take(tables.seq_v, entry, mode="clip"))
 
 
 def get_aperture_sample(tables: SampleTables, sequence_id, sample_index):
@@ -137,4 +138,5 @@ def get_aperture_sample(tables: SampleTables, sequence_id, sample_index):
     length = tables.sequence_length
     idx = jnp.remainder(sample_index, length)
     entry = sequence_id * length + idx
-    return jnp.take(tables.aperture_u, entry), jnp.take(tables.aperture_v, entry)
+    return (jnp.take(tables.aperture_u, entry, mode="clip"),
+            jnp.take(tables.aperture_v, entry, mode="clip"))

@@ -100,7 +100,13 @@ class MeshData:
 
 
 def compute_vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
-    """Area-weighted smooth vertex normals."""
+    """Area-weighted smooth vertex normals (native accelerator when
+    available; numpy otherwise)."""
+    from .. import native
+
+    fast = native.vertex_normals(positions, indices)
+    if fast is not None:
+        return fast
     v0 = positions[indices[:, 0]]
     v1 = positions[indices[:, 1]]
     v2 = positions[indices[:, 2]]
@@ -118,8 +124,14 @@ def _morton_order(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
     The TPU intersectors cull whole contiguous triangle chunks against
     per-chunk AABBs (the flat-cluster replacement for OpenRL's internal BVH);
     Morton ordering makes contiguous chunks spatially compact so the culling
-    actually bites.
+    actually bites.  Uses the native accelerator when available (bit-exact
+    C++ twin in ``native/heatray_native.cpp``).
     """
+    from .. import native
+
+    fast = native.morton_order(positions, indices)
+    if fast is not None:
+        return fast
     c = positions[indices].mean(axis=1)  # (T, 3) centroids
     lo = c.min(axis=0)
     extent = np.maximum(c.max(axis=0) - lo, 1e-12)

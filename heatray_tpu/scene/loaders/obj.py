@@ -92,6 +92,18 @@ def load_obj(
     (``AssimpMeshProvider.cpp:270-278``); cm->m unit scaling is the caller's
     ``scale`` (``:692``).
     """
+    # Fast path: single-material files (no usemtl) go through the native
+    # C++ tokenizer (``native/heatray_native.cpp``) — the heavy case for
+    # large scanned meshes.  Grouped files use the Python path below.
+    with open(path, "rb") as fb:
+        raw = fb.read()
+    if b"usemtl" not in raw:
+        from ... import native
+
+        parsed = native.parse_obj(raw)
+        if parsed is not None:
+            return _from_native(parsed, path, raw, scale)
+
     positions: List[List[float]] = []
     normals: List[List[float]] = []
     uvs: List[List[float]] = []
@@ -177,3 +189,31 @@ def load_obj(
         else:
             materials.append(PBRParams(name=mtl_name or "default"))
     return meshes, materials
+
+
+def _from_native(parsed, path: str, raw: bytes, scale: float):
+    """Assemble MeshData from the native parser's flat corner streams
+    (single-material fast path)."""
+    v, vt, vn, fv, ft, fn = parsed
+    if fv.shape[0] == 0:
+        return [], []
+    corners = np.stack([fv, ft, fn], axis=-1).reshape(-1, 3)  # (3T, ids)
+    uniq, inverse = np.unique(corners, axis=0, return_inverse=True)
+    pos = v[uniq[:, 0]] * np.float32(scale)
+    uv = (
+        vt[np.maximum(uniq[:, 1], 0)]
+        if vt.shape[0]
+        else np.zeros((len(uniq), 2), np.float32)
+    )
+    nrm = (
+        vn[np.maximum(uniq[:, 2], 0)]
+        if vn.shape[0] and (uniq[:, 2] >= 0).all()
+        else None
+    )
+    indices = inverse.reshape(-1, 3).astype(np.int32)
+    name = os.path.splitext(os.path.basename(path))[0]
+    mesh = MeshData(
+        positions=pos, indices=indices, normals=nrm, uvs=uv.astype(np.float32),
+        name=name,
+    )
+    return [mesh], [PBRParams(name=name)]

@@ -29,7 +29,16 @@ MAX_CLEARCOAT = 0.2  # Burley: clearcoat slider scales to [0, 0.2]
 @dataclasses.dataclass
 class PBRParams:
     """User-facing PBR parameters, mirroring
-    ``PhysicallyBasedMaterial.h:22-41`` (textures arrive in a later layer)."""
+    ``PhysicallyBasedMaterial.h:22-41``.
+
+    Texture fields are atlas texture ids (see ``scene.textures``), -1 = slot
+    unused — the seven slots of the reference's ``Material`` uniform block
+    (``physicallyBased.rlsl:29-38``).  ``alpha_masked`` mirrors the
+    ALPHA_MASK shader variant (glTF alphaMode MASK,
+    ``AssimpMeshProvider.cpp:375-389``): texels with baseColor alpha < 1 are
+    passed through and the geometry does not occlude shadow rays
+    (``Mesh.cpp:95-100``).
+    """
 
     base_color: tuple = (1.0, 1.0, 1.0)
     emissive: tuple = (0.0, 0.0, 0.0)
@@ -39,17 +48,31 @@ class PBRParams:
     clearcoat: float = 0.0  # raw slider value; conditioned by * 0.2
     clearcoat_roughness: float = 0.0
     double_sided: bool = False
+    base_color_tex: int = -1
+    metallic_roughness_tex: int = -1
+    emissive_tex: int = -1
+    normal_tex: int = -1
+    clearcoat_tex: int = -1
+    clearcoat_roughness_tex: int = -1
+    clearcoat_normal_tex: int = -1
+    alpha_masked: bool = False
     name: str = "pbr"
 
 
 @dataclasses.dataclass
 class GlassParams:
-    """User-facing glass parameters, mirroring ``GlassMaterial.h``."""
+    """User-facing glass parameters, mirroring ``GlassMaterial.h``.
+
+    Glass supports baseColor / metallicRoughness (g = roughness) / normal
+    textures (``glass.rlsl:145-175``)."""
 
     base_color: tuple = (1.0, 1.0, 1.0)
     roughness: float = 0.0
     ior: float = 1.5
     density: float = 0.0  # Beer's-law absorption density
+    base_color_tex: int = -1
+    metallic_roughness_tex: int = -1
+    normal_tex: int = -1
     name: str = "glass"
 
 
@@ -74,6 +97,15 @@ class MaterialTable:
     ior: jnp.ndarray  # (M,) glass only
     density: jnp.ndarray  # (M,) glass only
     double_sided: jnp.ndarray  # (M,) i32 (glass is implicitly double-sided)
+    # Atlas texture ids, -1 = slot unused:
+    base_color_tex: jnp.ndarray  # (M,) i32
+    metallic_roughness_tex: jnp.ndarray  # (M,) i32
+    emissive_tex: jnp.ndarray  # (M,) i32
+    normal_tex: jnp.ndarray  # (M,) i32
+    clearcoat_tex: jnp.ndarray  # (M,) i32
+    clearcoat_roughness_tex: jnp.ndarray  # (M,) i32
+    clearcoat_normal_tex: jnp.ndarray  # (M,) i32
+    alpha_mask: jnp.ndarray  # (M,) i32 flag
 
     @property
     def num_materials(self) -> int:
@@ -97,6 +129,14 @@ def build_material_table(materials: List) -> MaterialTable:
         "ior": np.ones(m, np.float32),
         "density": np.zeros(m, np.float32),
         "double_sided": np.zeros(m, np.int32),
+        "base_color_tex": np.full(m, -1, np.int32),
+        "metallic_roughness_tex": np.full(m, -1, np.int32),
+        "emissive_tex": np.full(m, -1, np.int32),
+        "normal_tex": np.full(m, -1, np.int32),
+        "clearcoat_tex": np.full(m, -1, np.int32),
+        "clearcoat_roughness_tex": np.full(m, -1, np.int32),
+        "clearcoat_normal_tex": np.full(m, -1, np.int32),
+        "alpha_mask": np.zeros(m, np.int32),
     }
     for i, mat in enumerate(materials):
         if isinstance(mat, PBRParams):
@@ -116,6 +156,14 @@ def build_material_table(materials: List) -> MaterialTable:
             out["clearcoat_roughness"][i] = cc_rough
             out["clearcoat_roughness_alpha"][i] = cc_rough * cc_rough
             out["double_sided"][i] = int(bool(mat.double_sided))
+            out["base_color_tex"][i] = int(mat.base_color_tex)
+            out["metallic_roughness_tex"][i] = int(mat.metallic_roughness_tex)
+            out["emissive_tex"][i] = int(mat.emissive_tex)
+            out["normal_tex"][i] = int(mat.normal_tex)
+            out["clearcoat_tex"][i] = int(mat.clearcoat_tex)
+            out["clearcoat_roughness_tex"][i] = int(mat.clearcoat_roughness_tex)
+            out["clearcoat_normal_tex"][i] = int(mat.clearcoat_normal_tex)
+            out["alpha_mask"][i] = int(bool(mat.alpha_masked))
         elif isinstance(mat, GlassParams):
             # ``GlassMaterial.cpp:90-104``
             rough = max(min(float(mat.roughness), 1.0), 0.0)
@@ -130,6 +178,9 @@ def build_material_table(materials: List) -> MaterialTable:
             out["ior"][i] = ior
             out["density"][i] = float(mat.density)
             out["double_sided"][i] = 1  # glass shades both faces
+            out["base_color_tex"][i] = int(mat.base_color_tex)
+            out["metallic_roughness_tex"][i] = int(mat.metallic_roughness_tex)
+            out["normal_tex"][i] = int(mat.normal_tex)
         else:
             raise TypeError(f"unknown material type: {type(mat)}")
     out["base_color"] = np.ascontiguousarray(out["base_color"].T)

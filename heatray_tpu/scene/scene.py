@@ -13,6 +13,7 @@ import numpy as np
 from flax import struct
 
 from .geometry import Geometry, MeshData, merge_meshes, scene_aabb
+from .textures import AtlasBuilder, TextureAtlas
 from .lights import (
     DirectionalLight,
     EnvironmentLightDesc,
@@ -26,11 +27,21 @@ from .materials import GlassParams, MaterialTable, PBRParams, build_material_tab
 
 @struct.dataclass
 class Scene:
-    """A complete renderable scene (a pytree of device arrays)."""
+    """A complete renderable scene (a pytree of device arrays).
+
+    ``has_alpha_mask`` is static: when True the integrator builds a second,
+    occluder-only acceleration set (alpha-masked geometry does not block
+    shadow rays, ``Mesh.cpp:95-100``).
+    """
 
     geometry: Geometry
     materials: MaterialTable
     lights: LightBank
+    atlas: TextureAtlas
+    has_alpha_mask: bool = struct.field(pytree_node=False, default=False)
+    # Static: texture sampling / normal mapping compile out entirely for
+    # texture-free scenes (gathers are expensive on TPU).
+    has_textures: bool = struct.field(pytree_node=False, default=False)
 
 
 class SceneBuilder:
@@ -45,6 +56,12 @@ class SceneBuilder:
         self._point: List[PointLight] = []
         self._spot: List[SpotLight] = []
         self._environment: Optional[EnvironmentLightDesc] = None
+        self.textures = AtlasBuilder()
+
+    def add_texture(self, image, srgb: bool = False, key=None) -> int:
+        """Register a texture image; returns its atlas texture id (use in
+        ``PBRParams``/``GlassParams`` texture slots)."""
+        return self.textures.add(image, srgb=srgb, key=key)
 
     def add_material(self, material) -> int:
         assert isinstance(material, (PBRParams, GlassParams))
@@ -94,7 +111,17 @@ class SceneBuilder:
             spot=self._spot,
             environment=self._environment,
         )
-        return Scene(geometry=geometry, materials=materials, lights=lights)
+        has_alpha_mask = any(
+            getattr(m, "alpha_masked", False) for m in self._materials
+        )
+        return Scene(
+            geometry=geometry,
+            materials=materials,
+            lights=lights,
+            atlas=self.textures.build(),
+            has_alpha_mask=has_alpha_mask,
+            has_textures=len(self.textures._images) > 0,
+        )
 
     def aabb(self) -> np.ndarray:
         geometry = merge_meshes(self._meshes, self._mesh_material)

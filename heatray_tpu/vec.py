@@ -131,10 +131,18 @@ class Vec3:
         # through the 0-cotangent-times-inf trap).
         return jnp.sqrt(jnp.maximum(self.length_sq(), eps))
 
-    def normalized(self, eps=1e-20) -> "Vec3":
+    def normalized(self, eps=1e-12) -> "Vec3":
+        """Safe normalize: ``rsqrt(len_sq + eps)`` (ADDITIVE softening).
+
+        A max()-floor keeps the primal exact but leaves the derivative
+        unbounded just above the floor (d rsqrt ~ x^-3/2); near-antiparallel
+        half-vector constructions then overflow cotangents to inf and NaN
+        the whole gradient.  The additive form bounds the derivative at
+        0.5 * eps^-1.5 while perturbing unit-scale vectors by < 1e-12.
+        """
         import jax
 
-        inv = jax.lax.rsqrt(jnp.maximum(self.length_sq(), eps * eps))
+        inv = jax.lax.rsqrt(self.length_sq() + eps)
         return self * inv
 
     # --- elementwise helpers -------------------------------------------------
