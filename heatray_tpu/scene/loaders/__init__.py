@@ -13,7 +13,9 @@ def load_model_scene(path: str, env=None, scale: float = 1.0):
     b = SceneBuilder()
     lights = []
     if path.endswith((".gltf", ".glb")):
-        meshes, materials, lights = load_gltf(path, scale=scale)
+        meshes, materials, lights = load_gltf(
+            path, scale=scale, texture_sink=b.textures
+        )
     elif path.endswith(".obj"):
         meshes, materials = load_obj(path, scale=scale)
     else:

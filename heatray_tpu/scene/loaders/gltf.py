@@ -91,8 +91,59 @@ def _read_accessor(gltf: dict, buffers: List[bytes], index: int) -> np.ndarray:
     return np.ascontiguousarray(arr)
 
 
-def _convert_material(mat: dict):
-    """glTF material -> framework material (reference classification)."""
+def _decode_image(gltf: dict, buffers, base_dir: str, image_index: int):
+    """Decode a glTF image (uri, data-uri, or bufferView) to an (H, W, C)
+    float/uint8 array."""
+    import io
+
+    img = gltf["images"][image_index]
+    if "uri" in img:
+        uri = img["uri"]
+        if uri.startswith("data:"):
+            data = base64.b64decode(uri.split(",", 1)[1])
+        else:
+            with open(os.path.join(base_dir, uri), "rb") as f:
+                data = f.read()
+    else:
+        view = gltf["bufferViews"][img["bufferView"]]
+        off = view.get("byteOffset", 0)
+        data = buffers[view["buffer"]][off : off + view["byteLength"]]
+    try:
+        import imageio.v3 as iio
+
+        return iio.imread(io.BytesIO(data))
+    except Exception:
+        from PIL import Image
+
+        return np.asarray(Image.open(io.BytesIO(data)))
+
+
+def _texture_resolver(gltf: dict, buffers, base_dir: str, sink):
+    """Returns ``resolve(texture_ref, srgb) -> atlas texture id`` loading
+    images on demand into the scene's atlas (``sink``); -1 when absent."""
+
+    def resolve(ref, srgb: bool) -> int:
+        if sink is None or ref is None:
+            return -1
+        tex = gltf["textures"][ref["index"]]
+        image_index = tex.get("source")
+        if image_index is None:
+            return -1
+        key = ("gltf-image", image_index, srgb)
+        if key in sink._keys:
+            return sink._keys[key]
+        return sink.add(
+            _decode_image(gltf, buffers, base_dir, image_index),
+            srgb=srgb,
+            key=key,
+        )
+
+    return resolve
+
+
+def _convert_material(mat: dict, resolve=lambda ref, srgb: -1):
+    """glTF material -> framework material (reference classification,
+    ``AssimpMeshProvider.cpp:375-434`` incl. the texture slots)."""
     name = mat.get("name", "material")
     ext = mat.get("extensions", {})
     pbr = mat.get("pbrMetallicRoughness", {})
@@ -108,6 +159,11 @@ def _convert_material(mat: dict):
             roughness=pbr.get("roughnessFactor", 0.0),
             ior=ior,
             density=0.0,
+            base_color_tex=resolve(pbr.get("baseColorTexture"), True),
+            metallic_roughness_tex=resolve(
+                pbr.get("metallicRoughnessTexture"), False
+            ),
+            normal_tex=resolve(mat.get("normalTexture"), False),
             name=name,
         )
     cc = ext.get("KHR_materials_clearcoat", {})
@@ -125,6 +181,18 @@ def _convert_material(mat: dict):
         clearcoat=cc.get("clearcoatFactor", 0.0),
         clearcoat_roughness=cc.get("clearcoatRoughnessFactor", 0.0),
         double_sided=mat.get("doubleSided", False),
+        base_color_tex=resolve(pbr.get("baseColorTexture"), True),
+        metallic_roughness_tex=resolve(
+            pbr.get("metallicRoughnessTexture"), False
+        ),
+        emissive_tex=resolve(mat.get("emissiveTexture"), True),
+        normal_tex=resolve(mat.get("normalTexture"), False),
+        clearcoat_tex=resolve(cc.get("clearcoatTexture"), False),
+        clearcoat_roughness_tex=resolve(
+            cc.get("clearcoatRoughnessTexture"), False
+        ),
+        clearcoat_normal_tex=resolve(cc.get("clearcoatNormalTexture"), False),
+        alpha_masked=mat.get("alphaMode") == "MASK",
         name=name,
     )
 
@@ -151,13 +219,15 @@ def _node_matrix(node: dict) -> np.ndarray:
     return t @ m
 
 
-def load_gltf(path: str, scale: float = 1.0):
+def load_gltf(path: str, scale: float = 1.0, texture_sink=None):
     """Load a glTF/GLB file.
 
     Returns (meshes, materials, lights) where ``lights`` is a list of
     DirectionalLight/PointLight/SpotLight (KHR_lights_punctual with the
     reference's photometric treatment: glTF intensities are lux / candela,
-    which is what our light classes take).
+    which is what our light classes take).  ``texture_sink`` is the scene's
+    ``AtlasBuilder``; textures are loaded into it and their ids wired into
+    the material slots (skipped entirely when None).
     """
     base_dir = os.path.dirname(path)
     if path.endswith(".glb"):
@@ -168,8 +238,9 @@ def load_gltf(path: str, scale: float = 1.0):
         glb_buffers = []
     buffers = _load_buffers(gltf, base_dir, glb_buffers)
 
+    resolve = _texture_resolver(gltf, buffers, base_dir, texture_sink)
     materials = [
-        _convert_material(m) for m in gltf.get("materials", [])
+        _convert_material(m, resolve) for m in gltf.get("materials", [])
     ] or [PBRParams(name="default")]
 
     khr_lights = (
@@ -213,6 +284,14 @@ def load_gltf(path: str, scale: float = 1.0):
                     if "COLOR_0" in attrs
                     else None
                 )
+                tan = bitan = None
+                if "TANGENT" in attrs and nrm is not None:
+                    # glTF TANGENT is vec4; w is the bitangent handedness.
+                    t4 = _read_accessor(gltf, buffers, attrs["TANGENT"]).astype(
+                        np.float32
+                    )
+                    tan = t4[:, :3]
+                    bitan = np.cross(nrm, tan) * t4[:, 3:4]
                 if "indices" in prim:
                     idx = _read_accessor(gltf, buffers, prim["indices"])
                     idx = idx.reshape(-1, 3).astype(np.int32)
@@ -224,6 +303,8 @@ def load_gltf(path: str, scale: float = 1.0):
                     normals=nrm,
                     uvs=uv,
                     colors=col,
+                    tangents=tan,
+                    bitangents=bitan,
                     name=mesh.get("name", "mesh"),
                 ).transformed(world.astype(np.float32) @ np.diag(
                     [1.0, 1.0, 1.0, 1.0]

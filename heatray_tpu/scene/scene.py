@@ -120,7 +120,7 @@ class SceneBuilder:
             lights=lights,
             atlas=self.textures.build(),
             has_alpha_mask=has_alpha_mask,
-            has_textures=len(self.textures._images) > 0,
+            has_textures=self.textures.num_textures > 0,
         )
 
     def aabb(self) -> np.ndarray:

@@ -85,13 +85,15 @@ class AtlasBuilder:
             self._keys[key] = tex_id
         return tex_id
 
+    @property
+    def num_textures(self) -> int:
+        return len(self._images)
+
     def build(self) -> TextureAtlas:
-        if not self._images:
-            # 1-texel dummy so the pytree shapes are stable.
-            self._images.append(np.ones((1, 1, 4), np.float32))
+        images = self._images or [np.ones((1, 1, 4), np.float32)]  # stable dummy
         offsets, widths, heights, chunks = [], [], [], []
         off = 0
-        for img in self._images:
+        for img in images:
             h, w, _ = img.shape
             offsets.append(off)
             widths.append(w)
