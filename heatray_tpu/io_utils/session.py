@@ -161,6 +161,67 @@ class Session:
         )
 
 
+def load_session(path: str, override_size: Optional[Tuple[int, int]] = None):
+    """Restore a full render setup from a session file.
+
+    The analog of ``HeatrayRenderer::readSessionFile``
+    (``HeatrayRenderer.cpp:584-688``): parses the variable table, rebuilds
+    the scene named by ``RenderOptions.Scene`` (a built-in name or a model
+    file path), wires the environment light (map path / solid color), and
+    reconstructs camera + options.  Returns ``(scene, camera, options)``.
+    """
+    from ..scene.builtin import BUILTIN_SCENES
+    from ..scene.lights import EnvironmentLightDesc
+
+    session = Session.parse(path)
+    ro = session.values["RenderOptions"]
+    width, height = override_size if override_size else (512, 512)
+
+    env = None
+    env_map = str(ro.get("EnvironmentMap", ""))
+    if env_map:
+        from .image import load_image
+
+        env = EnvironmentLightDesc(
+            image=load_image(env_map)[..., :3],
+            exposure=float(ro["EnvironmentExposureCompensation"]),
+            rotation=float(ro["EnvironmentThetaRotation"]),
+        )
+    elif bool(ro.get("EnvironmentBuiltIn", False)):
+        env = EnvironmentLightDesc(
+            exposure=float(ro["EnvironmentExposureCompensation"]),
+            rotation=float(ro["EnvironmentThetaRotation"]),
+        )
+    else:
+        env = EnvironmentLightDesc(
+            solid_color=(
+                float(ro["EnvironmentMapSolidColorX"]),
+                float(ro["EnvironmentMapSolidColorY"]),
+                float(ro["EnvironmentMapSolidColorZ"]),
+            ),
+            exposure=float(ro["EnvironmentExposureCompensation"]),
+            rotation=float(ro["EnvironmentThetaRotation"]),
+        )
+
+    name = str(ro["Scene"])
+    if name in BUILTIN_SCENES:
+        builder = BUILTIN_SCENES[name]
+        try:
+            scene = builder(env=env)
+        except TypeError:
+            scene = builder()
+    else:
+        from ..scene.loaders import load_model_scene
+
+        scene = load_model_scene(
+            name, env=env, scale=float(session.get("Scene", "DistanceScale"))
+        )
+
+    options = session.to_render_options(width, height)
+    camera = session.to_camera(width, height)
+    return scene, camera, options
+
+
 def save_render_state(path: str, accum, next_pass: int, session: Session) -> None:
     """Checkpoint settings + the accumulation buffer + pass index (the
     reference checkpoints settings only)."""
