@@ -155,7 +155,7 @@ def cmd_optimize(args) -> int:
     assert target.shape[:2] == (options.height, options.width), (
         f"target {target.shape} vs render {options.height}x{options.width}"
     )
-    ctx = make_context(options)
+    ctx = make_context(options, scene, static_shading=False)
     init = {
         "base_color": scene.materials.base_color,
         "roughness": scene.materials.roughness,

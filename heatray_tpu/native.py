@@ -65,6 +65,16 @@ def _load() -> Optional[ctypes.CDLL]:
             p(ctypes.c_int32)
         ] * 3
         lib.obj_free.argtypes = [ctypes.c_void_p]
+        lib.bvh_build.restype = ctypes.c_void_p
+        lib.bvh_build.argtypes = [
+            p(ctypes.c_float), p(ctypes.c_float), i64,
+            p(ctypes.c_uint8), i64, i64, p(i64),
+        ]
+        lib.bvh_read.argtypes = [
+            ctypes.c_void_p, p(ctypes.c_float), p(ctypes.c_int32),
+            p(ctypes.c_int32), p(ctypes.c_int32),
+        ]
+        lib.bvh_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -107,6 +117,38 @@ def vertex_normals(positions: np.ndarray, indices: np.ndarray) -> Optional[np.nd
     out = np.empty_like(pos)
     lib.vertex_normals(_fptr(pos), pos.shape[0], _iptr(idx), idx.shape[0], _fptr(out))
     return out
+
+
+def bvh_build(tri_min, tri_max, include, leaf_size: int, n_bins: int):
+    """Native binned-SAH build (the C++ twin of ``ops.bvh.build_topology``).
+
+    ``tri_min``/``tri_max``: planar (3, T) f32; ``include``: (T,) bool or
+    None.  Returns (nbox (N, 6), leaf_chunk (N,), skip (N,), slot_tri
+    (C * leaf_size,)) or None if the library is missing.
+    """
+    lib = _load()
+    if lib is None:
+        return None
+    tmin = np.ascontiguousarray(tri_min, np.float32)
+    tmax = np.ascontiguousarray(tri_max, np.float32)
+    t_count = tmin.shape[1]
+    if include is not None:
+        inc = np.ascontiguousarray(include, np.uint8)
+        inc_ptr = inc.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    else:
+        inc_ptr = None
+    counts = (ctypes.c_int64 * 2)()
+    handle = lib.bvh_build(
+        _fptr(tmin), _fptr(tmax), t_count, inc_ptr, leaf_size, n_bins, counts
+    )
+    n_nodes, n_chunks = int(counts[0]), int(counts[1])
+    nbox = np.empty((n_nodes, 6), np.float32)
+    leaf_chunk = np.empty(n_nodes, np.int32)
+    skip = np.empty(n_nodes, np.int32)
+    slot_tri = np.empty(n_chunks * leaf_size, np.int32)
+    lib.bvh_read(handle, _fptr(nbox), _iptr(leaf_chunk), _iptr(skip), _iptr(slot_tri))
+    lib.bvh_free(handle)
+    return nbox, leaf_chunk, skip, slot_tri
 
 
 def parse_obj(text: bytes):

@@ -66,12 +66,15 @@ class RenderOptions:
     # (16384 x 512 x 3 floats ~= 100 MB per operand on TPU.)
     tri_chunk: int = 512
     ray_block: int = 16384
-    # Intersection backend: "auto" (fused Pallas kernels on TPU, XLA
-    # elsewhere), "pallas", or "xla".
+    # Intersection backend: "auto" (BVH traversal kernels on TPU, XLA
+    # elsewhere), "bvh", "pallas" (flat-chunk kernels), or "xla".
     intersect_backend: str = "auto"
     # Pallas kernel tiling (rays per grid step, triangles per chunk).
     pallas_ray_tile: int = 1024
     pallas_tri_chunk: int = 512
+    # Triangles per BVH leaf (one fixed-size chunk per leaf; the Pallas
+    # traversal hit-tests a whole leaf against a ray tile at once).
+    bvh_leaf_size: int = 64
 
     def __post_init__(self):
         assert self.max_ray_depth >= 1

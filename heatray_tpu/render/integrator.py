@@ -23,17 +23,21 @@ from flax import struct
 
 from ..camera import CameraParams
 from ..options import AOV, FrameGlobals, RenderOptions
+from ..ops.bvh import BVH, build_bvh
 from ..ops.intersect import (
+    WoopAccel,
     build_woop,
     gather_geo_normal,
     intersect_any,
     intersect_closest,
 )
 from ..ops.intersect_pallas import (
+    WoopPallas,
     intersect_any_pallas,
     intersect_closest_pallas,
     pack_for_pallas,
 )
+from ..ops.traverse_pallas import intersect_any_bvh, intersect_closest_bvh
 from ..sampling.tables import (
     SampleTables,
     build_tables,
@@ -53,14 +57,114 @@ from .shade_table import (
 
 
 @struct.dataclass
+class AccelPack:
+    """Prebuilt per-scene acceleration state (a pytree), hoisted out of the
+    per-pass graph: the Woop accel, the fat shading row table, and the
+    backend-specific packs.  Built host-side (``build_accel``) because BVH
+    topology needs concrete geometry; when absent, ``render_pass`` rebuilds
+    everything in-graph (the differentiable-rebuild mode for inverse
+    rendering over vertex positions)."""
+
+    accel: WoopAccel
+    occl_accel: WoopAccel  # alpha-mask filtered (== accel when no masking)
+    # (T, NUM_COLS) or None: inverse rendering over materials needs the
+    # table rebuilt in-graph (it bakes material parameters), while geometry
+    # stays accelerated — build with ``static_shading=False`` for that.
+    shade_table: jnp.ndarray | None
+    bvh: BVH | None
+    bvh_occl: BVH | None
+    packed: WoopPallas | None
+    packed_occl: WoopPallas | None
+    backend: str = struct.field(pytree_node=False, default="xla")
+
+
+@struct.dataclass
 class RenderContext:
-    """Per-configuration constant data (a pytree): QMC tables + LUTs."""
+    """Per-configuration constant data (a pytree): QMC tables, LUTs, and —
+    when built with a scene — the prebuilt acceleration pack."""
 
     tables: SampleTables
     ms_lut: jnp.ndarray  # ((L+1)^2, 4) corner-packed multiscatter LUT
+    accel_pack: AccelPack | None = None
 
 
-def make_context(options: RenderOptions) -> RenderContext:
+def _select_backend(options: RenderOptions, num_triangles: int) -> str:
+    """Resolve the intersection backend for this platform + scene size."""
+    if options.intersect_backend != "auto":
+        return options.intersect_backend
+    on_tpu = jax.default_backend() not in ("cpu", "gpu")
+    if not on_tpu:
+        return "xla"
+    # Both Pallas backends keep the whole chunked Woop table in VMEM; the
+    # BVH pads leaves, so budget on the padded count.
+    if num_triangles <= 250_000:
+        return "bvh"
+    return "xla"
+
+
+def build_accel(
+    scene: Scene, options: RenderOptions, static_shading: bool = True
+) -> AccelPack:
+    """Build the per-scene acceleration pack (host side, outside jit).
+
+    Device-side pieces run under jit: one eager jnp op costs seconds of
+    round-trip latency on a tunneled remote TPU, and build_woop alone is
+    ~60 ops."""
+    accel = jax.jit(build_woop)(
+        scene.geometry.positions, scene.geometry.indices
+    )
+    occl_accel = (
+        jax.jit(_occluder_accel)(accel, scene)
+        if scene.has_alpha_mask
+        else accel
+    )
+    backend = _select_backend(options, accel.num_triangles)
+    bvh = bvh_occl = packed = packed_occl = None
+    if backend == "bvh":
+        import numpy as np
+
+        bvh = build_bvh(accel, leaf_size=options.bvh_leaf_size)
+        if scene.has_alpha_mask:
+            include = (
+                np.asarray(
+                    jnp.take(
+                        scene.materials.alpha_mask, scene.geometry.material_ids
+                    )
+                )
+                == 0
+            )
+            bvh_occl = build_bvh(
+                accel, leaf_size=options.bvh_leaf_size, include=include
+            )
+        else:
+            bvh_occl = bvh
+    elif backend == "pallas":
+        pack_fn = jax.jit(pack_for_pallas, static_argnames="tri_chunk")
+        packed = pack_fn(accel, tri_chunk=options.pallas_tri_chunk)
+        packed_occl = (
+            packed
+            if occl_accel is accel
+            else pack_fn(occl_accel, tri_chunk=options.pallas_tri_chunk)
+        )
+    return AccelPack(
+        accel=accel,
+        occl_accel=occl_accel,
+        shade_table=(
+            jax.jit(build_shade_table)(scene, accel) if static_shading else None
+        ),
+        bvh=bvh,
+        bvh_occl=bvh_occl,
+        packed=packed,
+        packed_occl=packed_occl,
+        backend=backend,
+    )
+
+
+def make_context(
+    options: RenderOptions,
+    scene: Scene | None = None,
+    static_shading: bool = True,
+) -> RenderContext:
     return RenderContext(
         tables=build_tables(
             options.width,
@@ -70,6 +174,11 @@ def make_context(options: RenderOptions) -> RenderContext:
             bokeh_shape=options.bokeh_shape,
         ),
         ms_lut=multiscatter_lut_packed(),
+        accel_pack=(
+            build_accel(scene, options, static_shading=static_shading)
+            if scene is not None
+            else None
+        ),
     )
 
 
@@ -149,9 +258,10 @@ def _park_dead(org: Vec3, direction: Vec3, active):
 
 
 def _use_pallas(options: RenderOptions, num_triangles: int) -> bool:
-    """Backend select: fused Pallas kernels on TPU-like platforms (the
-    triangle table must fit VMEM), XLA tiled path elsewhere."""
-    if options.intersect_backend == "pallas":
+    """Backend select for the in-graph (no prebuilt pack) path: fused Pallas
+    chunk kernels on TPU-like platforms, XLA tiled path elsewhere.  The BVH
+    backend is only reachable through ``build_accel`` (host-side build)."""
+    if options.intersect_backend in ("pallas", "bvh"):
         return True
     if options.intersect_backend == "xla":
         return False
@@ -200,6 +310,48 @@ def _shape_wrap(fn_flat):
         return out.reshape(shp)
 
     return fn
+
+
+def _make_bvh_intersectors(pack: AccelPack, options: RenderOptions):
+    """(closest, any) over the prebuilt BVH traversal kernels."""
+    rt = options.pallas_ray_tile
+
+    def closest(org, direction, t_min):
+        t, tid, hit = intersect_closest_bvh(
+            pack.bvh, org, direction, t_min=t_min, ray_tile=rt
+        )
+        n = gather_geo_normal(pack.accel, jnp.maximum(tid, 0))
+        front = direction.dot(n) < 0.0
+        return t, tid, front, hit
+
+    def any_hit(org, direction, t_min, t_max):
+        return intersect_any_bvh(
+            pack.bvh_occl, org, direction, t_min=t_min, t_max=t_max,
+            ray_tile=rt,
+        )
+
+    return _shape_wrap(closest), _shape_wrap(any_hit)
+
+
+def _make_packed_intersectors(pack: AccelPack, options: RenderOptions):
+    """(closest, any) over prebuilt flat-chunk Pallas packs."""
+    rt = options.pallas_ray_tile
+
+    def closest(org, direction, t_min):
+        t, tid, hit = intersect_closest_pallas(
+            pack.packed, org, direction, t_min=t_min, ray_tile=rt
+        )
+        n = gather_geo_normal(pack.accel, jnp.maximum(tid, 0))
+        front = direction.dot(n) < 0.0
+        return t, tid, front, hit
+
+    def any_hit(org, direction, t_min, t_max):
+        return intersect_any_pallas(
+            pack.packed_occl, org, direction, t_min=t_min, t_max=t_max,
+            ray_tile=rt,
+        )
+
+    return _shape_wrap(closest), _shape_wrap(any_hit)
 
 
 def _make_intersectors(accel, occl_accel, options: RenderOptions):
@@ -282,10 +434,31 @@ def render_pass(
     """
     h, w = options.height, options.width
     eps = options.ray_epsilon
-    accel = build_woop(scene.geometry.positions, scene.geometry.indices)
-    occl_accel = _occluder_accel(accel, scene) if scene.has_alpha_mask else accel
-    closest_fn, any_fn = _make_intersectors(accel, occl_accel, options)
-    shade_table = build_shade_table(scene, accel)
+    pack = ctx.accel_pack
+    if pack is None:
+        # Differentiable-rebuild mode: accel + shade table live inside the
+        # pass graph so gradients reach vertex positions (inverse rendering
+        # over geometry); pays a per-pass rebuild tax.
+        accel = build_woop(scene.geometry.positions, scene.geometry.indices)
+        occl_accel = (
+            _occluder_accel(accel, scene) if scene.has_alpha_mask else accel
+        )
+        closest_fn, any_fn = _make_intersectors(accel, occl_accel, options)
+        shade_table = build_shade_table(scene, accel)
+    else:
+        shade_table = (
+            pack.shade_table
+            if pack.shade_table is not None
+            else build_shade_table(scene, pack.accel)
+        )
+        if pack.backend == "bvh":
+            closest_fn, any_fn = _make_bvh_intersectors(pack, options)
+        elif pack.backend == "pallas":
+            closest_fn, any_fn = _make_packed_intersectors(pack, options)
+        else:
+            closest_fn, any_fn = _make_intersectors(
+                pack.accel, pack.occl_accel, options
+            )
 
     # Interactive 3x3 block mode: pass k traces block pixel k % 9, and the
     # QMC sample index advances every 9 passes (``PassGenerator.cpp:372-384``).
@@ -460,7 +633,7 @@ def render(
     (checkpoint/restart).
     """
     if ctx is None:
-        ctx = make_context(options)
+        ctx = make_context(options, scene)
     if num_passes is None:
         num_passes = options.max_render_passes
     if accum is None:

@@ -199,4 +199,225 @@ void obj_read(void* handle, float* v, float* vt, float* vn,
 
 void obj_free(void* handle) { delete (ObjData*)handle; }
 
+// ---------------------------------------------------------------------------
+// Binned-SAH BVH builder (the native twin of ops/bvh.py:build_topology).
+//
+// The flattened skip-pointer layout feeds the Pallas traversal kernels; this
+// replaces the structure OpenRL builds internally behind rlRenderFrame
+// (3rdParty/OpenRL/rl.h:484).  Semantics match the numpy builder: widest
+// centroid axis, 16 bins, near-side-first preorder emission, median-split
+// fallback, fixed-size leaf chunks.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct BvhData {
+    std::vector<float> nbox;        // (N, 6)
+    std::vector<int32_t> leaf_chunk;  // (N,)
+    std::vector<int32_t> skip;      // (N,)
+    std::vector<int32_t> slot_tri;  // (C * leaf_size,)
+    int64_t leaf_size = 0;
+};
+
+struct BvhBuilder {
+    const float* bmin;  // (T', 3) gathered
+    const float* bmax;
+    const float* cent;
+    const int32_t* ids;  // original triangle ids
+    int32_t* order;
+    int32_t* scratch;
+    int64_t leaf_size;
+    int n_bins;
+    BvhData* out;
+
+    void emit(int64_t lo, int64_t hi) {
+        size_t my = out->leaf_chunk.size();
+        float node_min[3] = {3e38f, 3e38f, 3e38f};
+        float node_max[3] = {-3e38f, -3e38f, -3e38f};
+        for (int64_t t = lo; t < hi; ++t) {
+            const float* mn = bmin + 3 * (int64_t)order[t];
+            const float* mx = bmax + 3 * (int64_t)order[t];
+            for (int k = 0; k < 3; ++k) {
+                node_min[k] = std::min(node_min[k], mn[k]);
+                node_max[k] = std::max(node_max[k], mx[k]);
+            }
+        }
+        for (int k = 0; k < 3; ++k) out->nbox.push_back(node_min[k]);
+        for (int k = 0; k < 3; ++k) out->nbox.push_back(node_max[k]);
+        out->leaf_chunk.push_back(-1);
+        out->skip.push_back(-1);
+
+        if (hi - lo <= leaf_size) {
+            int32_t chunk =
+                (int32_t)(out->slot_tri.size() / (size_t)leaf_size);
+            out->leaf_chunk[my] = chunk;
+            for (int64_t t = lo; t < hi; ++t)
+                out->slot_tri.push_back(ids[order[t]]);
+            for (int64_t t = hi - lo; t < leaf_size; ++t)
+                out->slot_tri.push_back(-1);
+            out->skip[my] = (int32_t)out->leaf_chunk.size();
+            return;
+        }
+
+        float c_lo[3] = {3e38f, 3e38f, 3e38f};
+        float c_hi[3] = {-3e38f, -3e38f, -3e38f};
+        for (int64_t t = lo; t < hi; ++t) {
+            const float* c = cent + 3 * (int64_t)order[t];
+            for (int k = 0; k < 3; ++k) {
+                c_lo[k] = std::min(c_lo[k], c[k]);
+                c_hi[k] = std::max(c_hi[k], c[k]);
+            }
+        }
+        int axis = 0;
+        float ext = c_hi[0] - c_lo[0];
+        for (int k = 1; k < 3; ++k)
+            if (c_hi[k] - c_lo[k] > ext) { ext = c_hi[k] - c_lo[k]; axis = k; }
+
+        int64_t mid = -1;
+        if (ext > 1e-12f) {
+            std::vector<int64_t> counts(n_bins, 0);
+            std::vector<float> bn(6 * n_bins);
+            for (int b = 0; b < n_bins; ++b) {
+                bn[6 * b + 0] = bn[6 * b + 1] = bn[6 * b + 2] = 3e38f;
+                bn[6 * b + 3] = bn[6 * b + 4] = bn[6 * b + 5] = -3e38f;
+            }
+            const float scale = (float)n_bins / ext;
+            for (int64_t t = lo; t < hi; ++t) {
+                int32_t tri = order[t];
+                int b = (int)((cent[3 * (int64_t)tri + axis] - c_lo[axis]) * scale);
+                b = std::min(b, n_bins - 1);
+                counts[b]++;
+                const float* mn = bmin + 3 * (int64_t)tri;
+                const float* mx = bmax + 3 * (int64_t)tri;
+                for (int k = 0; k < 3; ++k) {
+                    bn[6 * b + k] = std::min(bn[6 * b + k], mn[k]);
+                    bn[6 * b + 3 + k] = std::max(bn[6 * b + 3 + k], mx[k]);
+                }
+            }
+            // Prefix/suffix areas -> SAH costs at each of n_bins-1 splits.
+            auto area = [](const float* mn, const float* mx) {
+                float d0 = std::max(mx[0] - mn[0], 0.0f);
+                float d1 = std::max(mx[1] - mn[1], 0.0f);
+                float d2 = std::max(mx[2] - mn[2], 0.0f);
+                return (double)d0 * d1 + (double)d1 * d2 + (double)d2 * d0;
+            };
+            std::vector<double> pre_area(n_bins), suf_area(n_bins);
+            std::vector<int64_t> pre_cnt(n_bins);
+            float acc_mn[3], acc_mx[3];
+            for (int k = 0; k < 3; ++k) { acc_mn[k] = 3e38f; acc_mx[k] = -3e38f; }
+            int64_t cnt = 0;
+            for (int b = 0; b < n_bins; ++b) {
+                for (int k = 0; k < 3; ++k) {
+                    acc_mn[k] = std::min(acc_mn[k], bn[6 * b + k]);
+                    acc_mx[k] = std::max(acc_mx[k], bn[6 * b + 3 + k]);
+                }
+                cnt += counts[b];
+                pre_area[b] = area(acc_mn, acc_mx);
+                pre_cnt[b] = cnt;
+            }
+            for (int k = 0; k < 3; ++k) { acc_mn[k] = 3e38f; acc_mx[k] = -3e38f; }
+            for (int b = n_bins - 1; b >= 0; --b) {
+                for (int k = 0; k < 3; ++k) {
+                    acc_mn[k] = std::min(acc_mn[k], bn[6 * b + k]);
+                    acc_mx[k] = std::max(acc_mx[k], bn[6 * b + 3 + k]);
+                }
+                suf_area[b] = area(acc_mn, acc_mx);
+            }
+            int best = -1;
+            double best_cost = 1e300;
+            const int64_t total = hi - lo;
+            for (int b = 0; b < n_bins - 1; ++b) {
+                int64_t nl = pre_cnt[b], nr = total - nl;
+                if (nl == 0 || nr == 0) continue;
+                double cost = pre_area[b] * nl + suf_area[b + 1] * nr;
+                if (cost < best_cost) { best_cost = cost; best = b; }
+            }
+            if (best >= 0) {
+                // Stable near-side-first partition via scratch buffer.
+                int64_t w0 = lo, w1 = 0;
+                for (int64_t t = lo; t < hi; ++t) {
+                    int32_t tri = order[t];
+                    int b = (int)((cent[3 * (int64_t)tri + axis] - c_lo[axis]) * scale);
+                    b = std::min(b, n_bins - 1);
+                    if (b <= best) order[w0++] = tri;
+                    else scratch[w1++] = tri;
+                }
+                std::memcpy(order + w0, scratch, (size_t)w1 * sizeof(int32_t));
+                mid = w0;
+            }
+        }
+        if (mid < 0) {
+            std::stable_sort(order + lo, order + hi,
+                             [&](int32_t a, int32_t b) {
+                                 return cent[3 * (int64_t)a + axis] <
+                                        cent[3 * (int64_t)b + axis];
+                             });
+            mid = lo + (hi - lo) / 2;
+        }
+        emit(lo, mid);
+        emit(mid, hi);
+        out->skip[my] = (int32_t)out->leaf_chunk.size();
+    }
+};
+
+}  // namespace
+
+// tri_min/tri_max: (3, T) planar f32 (the WoopAccel layout); include: (T,)
+// u8 mask or NULL.  Returns a handle; out_counts = {n_nodes, n_chunks}.
+void* bvh_build(const float* tri_min, const float* tri_max, int64_t t_count,
+                const uint8_t* include, int64_t leaf_size, int64_t n_bins,
+                int64_t* out_counts) {
+    std::vector<int32_t> ids;
+    ids.reserve((size_t)t_count);
+    for (int64_t t = 0; t < t_count; ++t)
+        if (!include || include[t]) ids.push_back((int32_t)t);
+
+    BvhData* d = new BvhData();
+    d->leaf_size = leaf_size;
+    const int64_t n = (int64_t)ids.size();
+    if (n == 0) {
+        const float big = 3e38f;
+        d->nbox = {big, big, big, -big, -big, -big};
+        d->leaf_chunk = {0};
+        d->skip = {1};
+        d->slot_tri.assign((size_t)leaf_size, -1);
+        out_counts[0] = 1;
+        out_counts[1] = 1;
+        return d;
+    }
+    // Gather compact (T', 3) row-major boxes/centroids from planar input.
+    std::vector<float> bmin(3 * n), bmax(3 * n), cent(3 * n);
+    for (int64_t t = 0; t < n; ++t) {
+        const int64_t tri = ids[(size_t)t];
+        for (int k = 0; k < 3; ++k) {
+            bmin[3 * t + k] = tri_min[k * t_count + tri];
+            bmax[3 * t + k] = tri_max[k * t_count + tri];
+            cent[3 * t + k] = 0.5f * (bmin[3 * t + k] + bmax[3 * t + k]);
+        }
+    }
+    std::vector<int32_t> order(n), scratch(n);
+    std::iota(order.begin(), order.end(), 0);
+    // Builder indexes boxes by compact position; map back through ids.
+    BvhBuilder builder{bmin.data(), bmax.data(),  cent.data(), ids.data(),
+                       order.data(), scratch.data(), leaf_size,
+                       (int)n_bins, d};
+    builder.emit(0, n);
+    out_counts[0] = (int64_t)d->leaf_chunk.size();
+    out_counts[1] = (int64_t)(d->slot_tri.size() / (size_t)leaf_size);
+    return d;
+}
+
+void bvh_read(void* handle, float* nbox, int32_t* leaf_chunk, int32_t* skip,
+              int32_t* slot_tri) {
+    BvhData* d = (BvhData*)handle;
+    std::memcpy(nbox, d->nbox.data(), d->nbox.size() * sizeof(float));
+    std::memcpy(leaf_chunk, d->leaf_chunk.data(),
+                d->leaf_chunk.size() * sizeof(int32_t));
+    std::memcpy(skip, d->skip.data(), d->skip.size() * sizeof(int32_t));
+    std::memcpy(slot_tri, d->slot_tri.data(),
+                d->slot_tri.size() * sizeof(int32_t));
+}
+
+void bvh_free(void* handle) { delete (BvhData*)handle; }
+
 }  // extern "C"
