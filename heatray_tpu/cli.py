@@ -56,10 +56,20 @@ def _build(args):
     w, h = args.size
     env = None
     if args.env:
-        from heatray_tpu.io_utils.image import load_image
+        from heatray_tpu.scene.environments import BUILTIN_ENVIRONMENTS
 
+        if args.env in BUILTIN_ENVIRONMENTS:
+            from heatray_tpu.scene.environments import get_environment
+
+            image = get_environment(args.env)  # already top-row-first
+        else:
+            from heatray_tpu.io_utils.image import load_image
+
+            # EnvironmentLightDesc.image is top-row-first (sky at row 0);
+            # load_image returns bottom-first, so flip.
+            image = load_image(args.env)[::-1]
         env = EnvironmentLightDesc(
-            image=load_image(args.env),
+            image=image,
             exposure=args.env_exposure,
             rotation=args.env_rotation,
         )
@@ -119,7 +129,7 @@ def cmd_render(args) -> int:
 
     post = PostProcessingParams(tonemapping_enabled=args.tonemap)
     img = apply_post_pipeline(accum, post)
-    if args.out.endswith((".tiff", ".tif", ".npy")):
+    if args.out.endswith((".tiff", ".tif", ".npy", ".exr", ".hdr")):
         save_hdr(args.out, np.asarray(resolve(accum)))
     else:
         save_ldr(args.out, np.asarray(img))

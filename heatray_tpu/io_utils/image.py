@@ -37,12 +37,24 @@ def save_ldr(path: str, image) -> None:
 def save_hdr(path: str, image) -> None:
     """Save a linear float (H, W, 3/4) image (row 0 = bottom).
 
-    Uses TIFF via imageio when available (the reference saves float TIFFs,
-    ``HeatrayRenderer.cpp:1619-1660``); falls back to ``.npy``.
+    ``.exr`` and ``.hdr`` use the built-in codecs (``io_utils.exr``/``hdr``);
+    TIFF goes through imageio (the reference saves float TIFFs,
+    ``HeatrayRenderer.cpp:1619-1660``); anything else falls back to ``.npy``.
     """
     img = np.asarray(image, dtype=np.float32)[::-1]
+    low = path.lower()
+    if low.endswith(".exr"):
+        from .exr import write_exr
+
+        write_exr(path, img[..., :3])
+        return
+    if low.endswith(".hdr"):
+        from .hdr import write_hdr
+
+        write_hdr(path, img[..., :3])
+        return
     iio = _try_imageio()
-    if iio is not None and (path.endswith(".tiff") or path.endswith(".tif")):
+    if iio is not None and (low.endswith(".tiff") or low.endswith(".tif")):
         iio.imwrite(path, img)
         return
     np.save(path if path.endswith(".npy") else path + ".npy", img)
@@ -52,10 +64,20 @@ def load_image(path: str, to_linear: bool = True) -> np.ndarray:
     """Load an image as linear float (H, W, C), row 0 = bottom.
 
     LDR files get sRGB->linear conversion like the reference's texture loader
-    (``TextureLoader.cpp:106-133``); float formats load as-is.
+    (``TextureLoader.cpp:106-133``); float formats (.exr/.hdr/float TIFF)
+    load as-is (``TextureLoader.cpp:44-81``).
     """
-    if path.endswith(".npy"):
+    low = path.lower()
+    if low.endswith(".npy"):
         return np.load(path)[::-1]
+    if low.endswith(".exr"):
+        from .exr import read_exr_rgb
+
+        return read_exr_rgb(path)[::-1].copy()
+    if low.endswith(".hdr"):
+        from .hdr import read_hdr
+
+        return read_hdr(path)[::-1].copy()
     iio = _try_imageio()
     if iio is not None:
         img = np.asarray(iio.imread(path))

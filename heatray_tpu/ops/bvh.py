@@ -36,13 +36,21 @@ from flax import struct
 
 from .intersect import WoopAccel
 
+# Depth at which the builders stop SAH-splitting and force median splits:
+# bounds tree depth (and the kernels' traversal stack) to
+# MAX_SAH_DEPTH + log2(T).
+MAX_SAH_DEPTH = 48
+
 
 @dataclasses.dataclass(frozen=True)
 class BVHTopology:
     """Host-side (numpy) flattened tree: pure structure, no triangle data."""
 
     nbox: np.ndarray  # (N, 6) f32 node AABBs [min xyz, max xyz]
-    leaf_chunk: np.ndarray  # (N,) i32 chunk id for leaves, -1 internal
+    # (N,) i32 node code: chunk id (>= 0) for leaves; -1 - split_axis for
+    # internal nodes (the traversal orders children near-side-first along
+    # the split axis using the ray tile's direction signs).
+    leaf_chunk: np.ndarray
     skip: np.ndarray  # (N,) i32 DFS escape pointer (N = done)
     slot_tri: np.ndarray  # (C * Tc,) i32 chunk slot -> triangle id, -1 pad
     leaf_size: int
@@ -111,7 +119,7 @@ def build_topology(
 
     order = np.arange(ids.shape[0])
 
-    def emit(lo: int, hi: int) -> None:
+    def emit(lo: int, hi: int, depth: int = 0) -> None:
         """Emit the subtree over order[lo:hi] (preorder); fills skip after."""
         my = len(nbox)
         sel = order[lo:hi]
@@ -132,7 +140,9 @@ def build_topology(
         extent = c.max(axis=0) - lo_c
         axis = int(np.argmax(extent))
         mid = None
-        if extent[axis] > 1e-12:
+        # Past MAX_SAH_DEPTH force median splits so tree depth (and the
+        # traversal stack) stays bounded: 48 + log2(T) levels max.
+        if extent[axis] > 1e-12 and depth < MAX_SAH_DEPTH:
             # Binned SAH along the widest centroid axis.
             b = np.minimum(
                 ((c[:, axis] - lo_c[axis]) / extent[axis] * n_bins).astype(
@@ -174,8 +184,9 @@ def build_topology(
             key = np.argsort(c[:, axis], kind="stable")
             order[lo:hi] = sel[key]
             mid = lo + (hi - lo) // 2
-        emit(lo, mid)
-        emit(mid, hi)
+        leaf_chunk[my] = -1 - axis  # internal: encode the split axis
+        emit(lo, mid, depth + 1)
+        emit(mid, hi, depth + 1)
         skip[my] = len(nbox)
 
     import sys

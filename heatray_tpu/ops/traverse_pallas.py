@@ -6,20 +6,22 @@ machine's strengths instead of per-ray MIMD traversal:
 
 - The grid tiles rays; each grid step owns ``ray_tile`` rays as a planar
   ``(8, Rt)`` block (origins/directions on sublanes, rays on lanes).
-- ONE scalar ``while`` loop walks the flattened skip-pointer BVH
-  (``ops.bvh``): node boxes live in SMEM, so the slab test broadcasts six
-  scalars against ``(1, Rt)`` rows on the VPU; the whole tile shares the
-  traversal decision (``any(overlap)``).
+- ONE scalar ``while`` loop walks the flattened BVH (``ops.bvh``) with a
+  short SMEM stack, descending the **near child first** — chosen per tile
+  from the tile's aggregate direction sign along each node's split axis —
+  so the running closest-t shrinks early and far subtrees slab-cull.
+  Node boxes live in SMEM; the slab test broadcasts six scalars against
+  ``(1, Rt)`` rows on the VPU; the whole tile shares traversal decisions
+  (``any(overlap)``).
 - At a leaf, the chunk's ``(4, 3*Tc)`` Woop block is dynamically sliced
   from VMEM and hit-tested against the tile as an MXU contraction + VPU
   selects (shared with ``intersect_pallas._pair_hits``).
-- The running closest-t row bounds every subsequent slab test, so the
-  traversal self-prunes; parked (dead) rays fail the root test and the
-  whole tile exits after one node.
+- Parked (dead) rays fail the root test and the whole tile exits after
+  one node; the occlusion variant exits as soon as every lane is blocked.
 
 Coherence, not stacks, is the scheduling currency on a vector machine: the
-integrator feeds tiles of adjacent pixels (primary rays) and the occlusion
-variant exits as soon as every lane is blocked.
+integrator feeds tiles of adjacent pixels, and near-first ordering recovers
+most of the per-ray early-termination a scalar tracer would get.
 """
 
 from __future__ import annotations
@@ -43,6 +45,9 @@ from .intersect_pallas import (
 )
 
 RAY_TILE = 512
+# Builder caps depth at MAX_SAH_DEPTH + log2(T) (ops/bvh.py); 96 covers
+# 48 + 31 with margin.
+STACK_DEPTH = 96
 
 
 def _node_slab(nbox_ref, i, rays, invx, invy, invz, t_min, t_far):
@@ -70,27 +75,64 @@ def _node_slab(nbox_ref, i, rays, invx, invy, invz, t_min, t_far):
     return tn <= tf
 
 
+def _tile_dir_signs(rays):
+    """Aggregate direction sign per axis for the whole tile (scalars):
+    True = the tile predominantly travels +axis, so the lower-coordinate
+    (left) child is nearer."""
+    sx = jnp.sum(rays[4:5, :]) >= 0.0
+    sy = jnp.sum(rays[5:6, :]) >= 0.0
+    sz = jnp.sum(rays[6:7, :]) >= 0.0
+    return sx, sy, sz
+
+
+def _advance(meta_ref, stack_ref, n_nodes, i, sp, any_ov, code, signs):
+    """Shared traversal-control step: descend near-first or pop.
+
+    Internal nodes store ``-1 - axis`` in ``code``; preorder layout makes
+    ``left = i + 1`` and ``right = skip[left]``.  The far child is pushed;
+    writing at ``stack_ref[sp]`` when NOT descending lands one above the
+    live top and is harmless.
+    """
+    sx, sy, sz = signs
+    is_leaf = code >= 0
+    descend = any_ov & (~is_leaf)
+    left = i + 1
+    lc = jnp.minimum(left, n_nodes - 1)
+    right = meta_ref[2 * lc + 1]
+    axis = -1 - code
+    s = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+    near = jnp.where(s, left, right)
+    far = jnp.where(s, right, left)
+    stack_ref[sp] = far
+    popped = stack_ref[jnp.maximum(sp - 1, 0)]
+    i_next = jnp.where(descend, near, jnp.where(sp > 0, popped, -1))
+    sp_next = jnp.where(descend, sp + 1, jnp.maximum(sp - 1, 0))
+    return i_next, sp_next
+
+
 def _closest_kernel(
-    tc, n_nodes, t_min, precision, rays_ref, nbox_ref, meta_ref, w_ref, t_ref, id_ref
+    tc, n_nodes, t_min, precision,
+    rays_ref, nbox_ref, meta_ref, w_ref, t_ref, id_ref, stack_ref,
 ):
     rays = rays_ref[...]  # (8, Rt)
     rt = rays.shape[1]
     invx, invy, invz = _tile_inv_dir(rays)
+    signs = _tile_dir_signs(rays)
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
 
     def cond(carry):
-        return carry[0] < n_nodes
+        return carry[0] >= 0
 
     def body(carry):
-        i, best_t, best_id = carry
+        i, sp, best_t, best_id = carry
         overlap = _node_slab(nbox_ref, i, rays, invx, invy, invz, t_min, best_t)
         any_ov = jnp.any(overlap)
-        chunk = meta_ref[2 * i]
+        code = meta_ref[2 * i]
 
         def leaf_fn(args):
             bt, bid = args
             # Bound hit search by the running closest t (self-pruning).
-            tm = _pair_hits(rays, w_ref[chunk], tc, t_min, bt, precision)
+            tm = _pair_hits(rays, w_ref[code], tc, t_min, bt, precision)
             col_min = jnp.min(tm, axis=0, keepdims=True)  # (1, Rt)
             tri = jnp.min(
                 jnp.where(tm <= col_min, sub_ids, jnp.int32(2**30)),
@@ -98,64 +140,69 @@ def _closest_kernel(
                 keepdims=True,
             )
             improved = col_min < bt
-            bid = jnp.where(improved, chunk * tc + tri, bid)
+            bid = jnp.where(improved, code * tc + tri, bid)
             bt = jnp.where(improved, col_min, bt)
             return bt, bid
 
         best_t, best_id = jax.lax.cond(
-            any_ov & (chunk >= 0), leaf_fn, lambda a: a, (best_t, best_id)
+            any_ov & (code >= 0), leaf_fn, lambda a: a, (best_t, best_id)
         )
-        # Overlap: descend (preorder: left child = i + 1; leaves have
-        # skip == i + 1).  No overlap: jump over the subtree.
-        i = jnp.where(any_ov, i + 1, meta_ref[2 * i + 1])
-        return i, best_t, best_id
+        i, sp = _advance(meta_ref, stack_ref, n_nodes, i, sp, any_ov, code, signs)
+        return i, sp, best_t, best_id
 
     init = (
+        jnp.int32(0),
         jnp.int32(0),
         jnp.full((1, rt), MISS_T, jnp.float32),
         jnp.full((1, rt), -1, jnp.int32),
     )
-    _, best_t, best_id = jax.lax.while_loop(cond, body, init)
+    _, _, best_t, best_id = jax.lax.while_loop(cond, body, init)
     t_ref[...] = best_t
     id_ref[...] = best_id
 
 
 def _any_kernel(
-    tc, n_nodes, t_min, precision, rays_ref, tmax_ref, nbox_ref, meta_ref, w_ref, hit_ref
+    tc, n_nodes, t_min, precision,
+    rays_ref, tmax_ref, nbox_ref, meta_ref, w_ref, hit_ref, stack_ref,
 ):
     rays = rays_ref[...]
     t_max = tmax_ref[...]  # (1, Rt)
     rt = rays.shape[1]
     invx, invy, invz = _tile_inv_dir(rays)
+    signs = _tile_dir_signs(rays)
 
     def cond(carry):
-        i, min_t = carry
+        i, sp, min_t = carry
         # Done when the walk ends OR every lane is already blocked.
-        return (i < n_nodes) & jnp.any(min_t >= MISS_T)
+        return (i >= 0) & jnp.any(min_t >= MISS_T)
 
     def body(carry):
-        i, min_t = carry
+        i, sp, min_t = carry
         # Blocked lanes get an empty slab interval so they keep nothing live.
         t_far = jnp.where(min_t < MISS_T, t_min - 1.0, t_max)
         overlap = _node_slab(nbox_ref, i, rays, invx, invy, invz, t_min, t_far)
         any_ov = jnp.any(overlap)
-        chunk = meta_ref[2 * i]
+        code = meta_ref[2 * i]
 
         def leaf_fn(mt):
-            tm = _pair_hits(rays, w_ref[chunk], tc, t_min, t_max, precision)
+            tm = _pair_hits(rays, w_ref[code], tc, t_min, t_max, precision)
             return jnp.minimum(mt, jnp.min(tm, axis=0, keepdims=True))
 
-        min_t = jax.lax.cond(any_ov & (chunk >= 0), leaf_fn, lambda m: m, min_t)
-        i = jnp.where(any_ov, i + 1, meta_ref[2 * i + 1])
-        return i, min_t
+        min_t = jax.lax.cond(any_ov & (code >= 0), leaf_fn, lambda m: m, min_t)
+        i, sp = _advance(meta_ref, stack_ref, n_nodes, i, sp, any_ov, code, signs)
+        return i, sp, min_t
 
-    init = (jnp.int32(0), jnp.full((1, rt), MISS_T, jnp.float32))
-    _, min_t = jax.lax.while_loop(cond, body, init)
+    init = (jnp.int32(0), jnp.int32(0), jnp.full((1, rt), MISS_T, jnp.float32))
+    _, _, min_t = jax.lax.while_loop(cond, body, init)
     hit_ref[...] = (min_t < MISS_T).astype(jnp.int32)
 
 
 def _smem_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+def _stack_scratch():
+    return [pltpu.SMEM((STACK_DEPTH,), jnp.int32)]
 
 
 @functools.partial(
@@ -183,7 +230,7 @@ def intersect_closest_bvh(
         in_specs=[
             _rays_spec(ray_tile),
             _smem_spec(),  # node boxes
-            _smem_spec(),  # node meta (leaf chunk, skip)
+            _smem_spec(),  # node meta (code, skip)
             pl.BlockSpec(memory_space=pltpu.VMEM),  # whole chunked w
         ],
         out_specs=(_row_spec(ray_tile), _row_spec(ray_tile)),
@@ -191,6 +238,7 @@ def intersect_closest_bvh(
             jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.float32),
             jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
         ),
+        scratch_shapes=_stack_scratch(),
         interpret=interpret,
     )(rays, bvh.nbox, bvh.meta, bvh.w)
 
@@ -238,6 +286,7 @@ def intersect_any_bvh(
         ],
         out_specs=_row_spec(ray_tile),
         out_shape=jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
+        scratch_shapes=_stack_scratch(),
         interpret=interpret,
     )(rays, t_max, bvh.nbox, bvh.meta, bvh.w)
     return blocked[0, :r] > 0

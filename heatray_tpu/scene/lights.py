@@ -110,7 +110,8 @@ class EnvironmentLightDesc:
     energy being emitted than should be" (``EnvironmentLight.cpp:52-53``).
     """
 
-    image: Optional[np.ndarray] = None  # (H, W, 3) float linear lat/long
+    # (H, W, 3) float linear lat/long, TOP row first (row 0 = sky/+Y pole).
+    image: Optional[np.ndarray] = None
     solid_color: Tuple[float, float, float] = (0.5, 0.5, 0.5)
     exposure: float = 0.0  # EV; compensation = 2^exposure
     rotation: float = 0.0  # theta rotation (radians)
