@@ -49,6 +49,53 @@ def make_mesh(n_devices: int | None = None, axis: str = "dp") -> Mesh:
     return Mesh(np.asarray(devices[:n_devices]), (axis,))
 
 
+def initialize_distributed(
+    coordinator_address: str | None = None,
+    num_processes: int | None = None,
+    process_id: int | None = None,
+) -> None:
+    """Multi-host bring-up: ``jax.distributed.initialize`` with explicit or
+    environment-provided (JAX_COORDINATOR_ADDRESS / Cloud TPU metadata)
+    configuration.  No-op when already initialized or single-process.
+
+    On a real pod slice call this before any jax op; then
+    ``make_mesh_2d(jax.process_count(), local_chips)`` lays sample
+    parallelism across hosts (DCN — the sp axis needs ONE reduction per
+    render) and pixel rows within a host (ICI).
+    """
+    import os
+
+    if jax.process_count() > 1:
+        return  # already initialized
+    if coordinator_address or os.environ.get("JAX_COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def make_mesh_2d(
+    n_sample: int,
+    n_pixel: int,
+    devices: Sequence | None = None,
+) -> Mesh:
+    """2D ``('sp', 'dp')`` mesh: sample parallelism on the OUTER axis (across
+    hosts — it communicates once per render), pixel-row data parallelism on
+    the INNER axis (within a host, over ICI).
+
+    On a multi-host slice pass ``jax.devices()`` (global) with
+    ``n_sample = process_count``; on one host this subdivides local chips.
+    """
+    if devices is None:
+        devices = jax.devices()
+        if len(devices) < n_sample * n_pixel:
+            devices = jax.devices("cpu")
+    assert len(devices) >= n_sample * n_pixel
+    grid = np.asarray(devices[: n_sample * n_pixel]).reshape(n_sample, n_pixel)
+    return Mesh(grid, ("sp", "dp"))
+
+
 def shard_context(ctx: RenderContext, mesh: Mesh, axis: str = "dp") -> RenderContext:
     """Place per-pixel tables row-sharded, bulk tables replicated."""
     row = NamedSharding(mesh, P(axis))
@@ -122,7 +169,7 @@ def make_sharded_train_step(
 
     Pixels (target image + accumulation) shard over ``axis``; parameters
     replicate; the parameter-gradient all-reduce is inserted by GSPMD in the
-    backward pass.  Returns (step_fn, init_inputs) where
+    backward pass.  Returns
     ``step_fn(params, opt_state, sample_index) -> (params, opt_state, loss)``.
     """
     from ..diff.inverse import apply_material_params
@@ -149,6 +196,125 @@ def make_sharded_train_step(
         updates, opt_state = optimizer.update(grads, opt_state, params)
         import optax
 
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step_fn
+
+
+# ---------------------------------------------------------------------------
+# 2D (sp, dp): sample parallelism x pixel-row parallelism
+# ---------------------------------------------------------------------------
+
+
+def _sp_accum(options: RenderOptions, mesh: Mesh):
+    """Zero (S, 4, H, W) per-slice accumulation, sp x row sharded."""
+    s = mesh.shape["sp"]
+    return jax.device_put(
+        jnp.zeros((s, 4, options.height, options.width), jnp.float32),
+        NamedSharding(mesh, P("sp", None, None, "dp")),
+    )
+
+
+def render_sharded_2d(
+    scene: Scene,
+    camera: CameraParams,
+    ctx: RenderContext,
+    options: RenderOptions,
+    mesh: Mesh,
+    num_passes: int,
+    max_channel_value: float = 3.14159265,
+):
+    """Progressive render over a 2D ``('sp', 'dp')`` mesh.
+
+    Pass indices interleave across the sp axis (slice k traces passes
+    k, k+S, ...), every slice keeps its own row-sharded accumulation, and
+    ONE reduction over sp at the end merges them — the sample-parallel
+    axis the reference expresses serially (``PassGenerator.cpp:346-400``).
+    Returns the merged (4, H, W) accumulation (row-sharded over dp).
+    """
+    s = mesh.shape["sp"]
+    assert num_passes % s == 0, (
+        f"num_passes ({num_passes}) must divide over the sp axis ({s})"
+    )
+    scene = replicate(scene, mesh)
+    camera = replicate(camera, mesh)
+    ctx = shard_context(ctx, mesh)
+    accum = _sp_accum(options, mesh)
+
+    @jax.jit
+    def round_fn(accum, idxs):
+        def one(idx, acc):
+            frame = FrameGlobals.create(idx, max_channel_value)
+            return render_pass(scene, camera, ctx, options, frame, acc)
+
+        return jax.vmap(one)(idxs, accum)
+
+    sp_sharding = NamedSharding(mesh, P("sp"))
+    for r in range(num_passes // s):
+        idxs = jax.device_put(
+            r * s + jnp.arange(s, dtype=jnp.int32), sp_sharding
+        )
+        accum = round_fn(accum, idxs)
+
+    @jax.jit
+    def merge(accum):
+        total = jnp.sum(accum, axis=0)  # ONE psum over sp
+        return jax.lax.with_sharding_constraint(
+            total, NamedSharding(mesh, P(None, None, "dp"))
+        )
+
+    return merge(accum)
+
+
+def make_sharded_train_step_2d(
+    scene: Scene,
+    camera: CameraParams,
+    ctx: RenderContext,
+    options: RenderOptions,
+    target: jnp.ndarray,
+    mesh: Mesh,
+    optimizer,
+):
+    """Inverse-rendering step over the 2D mesh: each sp slice renders an
+    independent QMC pass, the merged image drives the loss, and GSPMD
+    all-reduces parameter gradients over BOTH axes (the overlap-friendly
+    psum of SURVEY section 2.4).  Returns ``step_fn(params, opt_state,
+    sample_index) -> (params, opt_state, loss)``."""
+    import optax
+
+    from ..diff.inverse import apply_material_params
+
+    s = mesh.shape["sp"]
+    scene = replicate(scene, mesh)
+    camera = replicate(camera, mesh)
+    ctx = shard_context(ctx, mesh)
+    target = jnp.transpose(jnp.asarray(target, jnp.float32), (2, 0, 1))
+    target = jax.device_put(
+        target, NamedSharding(mesh, P(None, None, "dp"))
+    )
+    accum0 = _sp_accum(options, mesh)
+    sp_sharding = NamedSharding(mesh, P("sp"))
+
+    def loss_fn(params, sample_index):
+        sc = apply_material_params(scene, params)
+
+        def one(idx, acc):
+            frame = FrameGlobals.create(sample_index * s + idx)
+            return render_pass(sc, camera, ctx, options, frame, acc)
+
+        idxs = jax.lax.with_sharding_constraint(
+            jnp.arange(s, dtype=jnp.int32), sp_sharding
+        )
+        accum = jax.vmap(one)(idxs, accum0)
+        total = jnp.sum(accum, axis=0)
+        img = total[:3] / jnp.maximum(total[3:], 1.0)
+        return jnp.mean((img - target) ** 2)
+
+    @jax.jit
+    def step_fn(params, opt_state, sample_index):
+        loss, grads = jax.value_and_grad(loss_fn)(params, sample_index)
+        updates, opt_state = optimizer.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 

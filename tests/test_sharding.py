@@ -16,8 +16,11 @@ from heatray_tpu.camera import orbit_camera
 from heatray_tpu.options import RenderOptions
 from heatray_tpu.parallel.sharding import (
     make_mesh,
+    make_mesh_2d,
     make_sharded_train_step,
+    make_sharded_train_step_2d,
     render_sharded,
+    render_sharded_2d,
 )
 from heatray_tpu.render import make_context, render, resolve
 from heatray_tpu.scene.builtin import cornell_box
@@ -45,6 +48,38 @@ class TestShardedRender:
         assert np.allclose(
             np.asarray(single), np.asarray(sharded), atol=1e-5
         ), np.abs(np.asarray(single) - np.asarray(sharded)).max()
+
+    def test_2d_mesh_sp_dp_matches_serial(self, setup):
+        """(sp, dp) interleaved sample-parallel render == the same passes
+        traced serially on one device (SURVEY section 2.4 sample axis)."""
+        scene, camera, ctx = setup
+        single, _ = render(scene, camera, OPTS, num_passes=4, ctx=ctx)
+        mesh = make_mesh_2d(2, 2)
+        assert mesh.shape == {"sp": 2, "dp": 2}
+        merged = render_sharded_2d(scene, camera, ctx, OPTS, mesh, num_passes=4)
+        assert merged.shape == single.shape
+        # Same 4 pass indices, different accumulation order -> fp tolerance.
+        assert np.allclose(np.asarray(single), np.asarray(merged), atol=1e-4), (
+            np.abs(np.asarray(single) - np.asarray(merged)).max()
+        )
+        # Alpha: every pixel saw all 4 passes.
+        assert np.allclose(np.asarray(merged[3]), 4.0)
+
+    def test_2d_train_step(self, setup):
+        scene, camera, ctx = setup
+        mesh = make_mesh_2d(2, 2)
+        target = resolve(
+            render_sharded_2d(scene, camera, ctx, OPTS, mesh, num_passes=2)
+        )
+        opt = optax.adam(1e-2)
+        step = make_sharded_train_step_2d(
+            scene, camera, ctx, OPTS, target, mesh, opt
+        )
+        params = {"base_color": scene.materials.base_color}
+        state = opt.init(params)
+        params, state, loss = step(params, state, jnp.int32(0))
+        assert np.isfinite(float(loss))
+        assert np.isfinite(np.asarray(params["base_color"])).all()
 
     def test_sharded_train_step(self, setup):
         scene, camera, ctx = setup
