@@ -45,7 +45,7 @@ def main() -> None:
     )
     scene = cornell_box(light="both", with_spheres=True)
     camera = orbit_camera(width, height, distance=6.2, focal_length_mm=35.0)
-    ctx = make_context(options)
+    ctx = make_context(options, scene)
     accum = jnp.zeros((4, height, width), jnp.float32)
 
     print(

@@ -112,6 +112,38 @@ def make_camera(
     )
 
 
+def orbit_view_matrix_jnp(distance, phi, theta, target=(0.0, 0.0, 0.0)):
+    """Differentiable (jnp) twin of ``OrbitCamera.view_matrix`` for camera
+    optimization: traced orbit scalars -> (4, 4) camera-to-world matrix.
+
+    Same composition as ``OrbitCamera.h:32-45``; gradients flow to
+    distance/phi/theta (and target)."""
+    distance = jnp.asarray(distance, jnp.float32)
+    phi = jnp.asarray(phi, jnp.float32)
+    theta = jnp.asarray(theta, jnp.float32)
+    target = jnp.asarray(target, jnp.float32)
+    ct, st = jnp.cos(theta * 0.5), jnp.sin(theta * 0.5)
+    cp, sp = jnp.cos(phi * 0.5), jnp.sin(phi * 0.5)
+    # q = rotTheta(x) * rotPhi(y); inverse = conjugate (unit quats).
+    w = ct * cp
+    x = st * cp
+    y = ct * sp
+    z = st * sp
+    x, y, z = -x, -y, -z  # conjugate
+    rot = jnp.array(
+        [
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ]
+    )
+    trans = target + jnp.array([0.0, 0.0, 1.0]) * distance
+    m = jnp.eye(4, dtype=jnp.float32)
+    m = m.at[:3, :3].set(rot)
+    # rot @ translate: translation column = rot @ trans.
+    return m.at[:3, 3].set(rot @ trans)
+
+
 def orbit_camera(
     width: int,
     height: int,

@@ -230,7 +230,7 @@ struct BvhBuilder {
     int n_bins;
     BvhData* out;
 
-    void emit(int64_t lo, int64_t hi) {
+    void emit(int64_t lo, int64_t hi, int depth = 0) {
         size_t my = out->leaf_chunk.size();
         float node_min[3] = {3e38f, 3e38f, 3e38f};
         float node_max[3] = {-3e38f, -3e38f, -3e38f};
@@ -274,7 +274,9 @@ struct BvhBuilder {
             if (c_hi[k] - c_lo[k] > ext) { ext = c_hi[k] - c_lo[k]; axis = k; }
 
         int64_t mid = -1;
-        if (ext > 1e-12f) {
+        // Past depth 48 force median splits so tree depth (and the
+        // traversal stack) stays bounded (matches ops/bvh.py MAX_SAH_DEPTH).
+        if (ext > 1e-12f && depth < 48) {
             std::vector<int64_t> counts(n_bins, 0);
             std::vector<float> bn(6 * n_bins);
             for (int b = 0; b < n_bins; ++b) {
@@ -354,8 +356,9 @@ struct BvhBuilder {
                              });
             mid = lo + (hi - lo) / 2;
         }
-        emit(lo, mid);
-        emit(mid, hi);
+        out->leaf_chunk[my] = -1 - axis;  // internal: encode the split axis
+        emit(lo, mid, depth + 1);
+        emit(mid, hi, depth + 1);
         out->skip[my] = (int32_t)out->leaf_chunk.size();
     }
 };
