@@ -100,10 +100,15 @@ def _build(args):
         focus_distance=args.focus_distance,
         aperture_radius=aperture,
     )
+    from heatray_tpu.options import AOV
+
     options = RenderOptions(
         width=w, height=h, max_render_passes=max(args.passes, 1),
         max_ray_depth=args.depth, sample_mode=args.sample_mode,
         bokeh_shape=args.bokeh,
+        aov=AOV(getattr(args, "aov", "none")),
+        debug_pass_rendering=getattr(args, "debug_pass", None) is not None,
+        debug_pass_index=getattr(args, "debug_pass", None) or 0,
     )
     return scene, camera, options
 
@@ -118,12 +123,23 @@ def cmd_render(args) -> int:
 
     scene, camera, options = _build(args)
     t0 = time.time()
-    accum, _ = render(
-        scene, camera, options, num_passes=args.passes,
-        max_channel_value=args.max_channel,
-    )
-    accum.block_until_ready()
+    import contextlib
+
+    if args.trace:
+        import jax
+
+        trace_cm = jax.profiler.trace(args.trace)
+    else:
+        trace_cm = contextlib.nullcontext()
+    with trace_cm:
+        accum, _ = render(
+            scene, camera, options, num_passes=args.passes,
+            max_channel_value=args.max_channel,
+        )
+        accum.block_until_ready()
     dt = time.time() - t0
+    if args.trace:
+        print(f"wrote xprof trace to {args.trace}", file=sys.stderr)
     print(f"rendered {options.width}x{options.height} x{args.passes} passes "
           f"in {dt:.1f}s", file=sys.stderr)
 
@@ -134,6 +150,25 @@ def cmd_render(args) -> int:
     else:
         save_ldr(args.out, np.asarray(img))
     print(f"wrote {args.out}", file=sys.stderr)
+    return 0
+
+
+def cmd_sequence_vis(args) -> int:
+    import numpy as np
+
+    from heatray_tpu.io_utils.image import save_ldr
+    from heatray_tpu.sampling.visualize import scatter_image, sequence_points
+
+    pts = sequence_points(
+        sample_mode=args.sample_mode,
+        bokeh_shape=args.bokeh,
+        sequence_index=args.sequence,
+        count=args.count,
+        aperture=args.aperture,
+    )
+    img = scatter_image(pts, size=args.plot_size, aperture=args.aperture)
+    save_ldr(args.out, img)
+    print(f"wrote {args.out} ({args.count} points)", file=sys.stderr)
     return 0
 
 
@@ -189,7 +224,33 @@ def main(argv=None) -> int:
     _add_common(p)
     p.add_argument("--out", default="render.png")
     p.add_argument("--tonemap", action="store_true", help="enable ACES tonemap")
+    from heatray_tpu.options import AOV
+
+    p.add_argument("--aov", default="none", choices=[m.value for m in AOV],
+                   help="debug visualization mode (PassGenerator.h:123-141)")
+    p.add_argument("--debug-pass", type=int, default=None, metavar="INDEX",
+                   help="freeze rendering to this single pass index "
+                        "(PassGenerator.h:145-149)")
+    p.add_argument("--trace", default=None, metavar="DIR",
+                   help="write a jax.profiler (xprof) trace of the render")
     p.set_defaults(fn=cmd_render)
+
+    p = sub.add_parser(
+        "sequence-vis",
+        help="scatter-plot a QMC sequence prefix to a PNG "
+             "(HeatrayRenderer.cpp:455-498)",
+    )
+    p.add_argument("--sample-mode", default="sobol",
+                   choices=["sobol", "halton", "hammersley", "bluenoise", "random"])
+    p.add_argument("--bokeh", default="circular",
+                   choices=["circular", "pentagon", "hexagon", "octagon"])
+    p.add_argument("--sequence", type=int, default=0, help="sequence index")
+    p.add_argument("--count", type=int, default=64, help="prefix length")
+    p.add_argument("--aperture", action="store_true",
+                   help="plot the bokeh aperture distribution instead")
+    p.add_argument("--plot-size", type=int, default=256)
+    p.add_argument("--out", default="sequence.png")
+    p.set_defaults(fn=cmd_sequence_vis)
 
     p = sub.add_parser("benchmark", help="measure rays/s")
     _add_common(p)

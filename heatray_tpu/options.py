@@ -27,6 +27,9 @@ class AOV(enum.Enum):
     UVS = "uvs"
     TANGENTS = "tangents"
     BITANGENTS = "bitangents"
+    # Raw normal-map texel (``physicallyBased.rlsl:175-176``); black where
+    # the material has no normal map.
+    NORMALMAP = "normalmap"
     FINAL_NORMALS = "final_normals"
     BASE_COLOR = "base_color"
     EMISSIVE = "emissive"
@@ -34,6 +37,8 @@ class AOV(enum.Enum):
     METALLIC = "metallic"
     CLEARCOAT = "clearcoat"
     CLEARCOAT_ROUGHNESS = "clearcoat_roughness"
+    # Raw clearcoat-normal-map texel (``physicallyBased.rlsl:198-199``).
+    CLEARCOAT_NORMALMAP = "clearcoat_normalmap"
     SHADER = "shader"
     NANS = "nans"
     INFS = "infs"
@@ -75,6 +80,11 @@ class RenderOptions:
     # Triangles per BVH leaf (one fixed-size chunk per leaf; the Pallas
     # traversal hit-tests a whole leaf against a ray tile at once).
     bvh_leaf_size: int = 64
+    # Pass debugging (``PassGenerator.h:145-149``): freeze rendering to the
+    # single pass at ``debug_pass_index`` to inspect one sample's
+    # contribution in isolation.
+    debug_pass_rendering: bool = False
+    debug_pass_index: int = 0
 
     def __post_init__(self):
         assert self.max_ray_depth >= 1

@@ -22,6 +22,7 @@ SURFACE_AOVS = {
     AOV.UVS,
     AOV.TANGENTS,
     AOV.BITANGENTS,
+    AOV.NORMALMAP,
     AOV.FINAL_NORMALS,
     AOV.BASE_COLOR,
     AOV.EMISSIVE,
@@ -29,6 +30,7 @@ SURFACE_AOVS = {
     AOV.METALLIC,
     AOV.CLEARCOAT,
     AOV.CLEARCOAT_ROUGHNESS,
+    AOV.CLEARCOAT_NORMALMAP,
     AOV.SHADER,
 }
 
@@ -74,6 +76,20 @@ def compute_surface_aov(
         value = Vec3.splat(rows.col(st.CLEARCOAT))
     elif mode == AOV.CLEARCOAT_ROUGHNESS:
         value = Vec3.splat(rows.col(st.CC_ROUGH))
+    elif mode in (AOV.NORMALMAP, AOV.CLEARCOAT_NORMALMAP):
+        # Raw normal-map texel (``physicallyBased.rlsl:175-176,198-199``);
+        # the reference accumulates nothing when the material lacks the map
+        # (the shader branch is compiled out), leaving those pixels black.
+        col = st.NM_TEX if mode == AOV.NORMALMAP else st.CCN_TEX
+        if scene.has_textures:
+            from ..scene.textures import sample_atlas
+
+            u, v = rows.interp_uv(w0, b1, b2)
+            tex = rows.icol(col)
+            r, g, b, _ = sample_atlas(scene.atlas, tex, u, v)
+            value = Vec3.where(tex >= 0, Vec3(r, g, b), 0.0)
+        else:
+            value = Vec3.zeros(b1.shape)
     elif mode == AOV.SHADER:
         # PBR = red, glass = green (``physicallyBased.rlsl:195``,
         # ``glass.rlsl:191``).

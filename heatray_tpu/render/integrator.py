@@ -469,9 +469,10 @@ def render_pass(
         block = None
         sample_index = frame.sample_index
 
-    org, direction, seq_id, seq_off = generate_primary_rays(
-        camera, ctx.tables, options, sample_index
-    )
+    with jax.named_scope("raygen"):
+        org, direction, seq_id, seq_off = generate_primary_rays(
+            camera, ctx.tables, options, sample_index
+        )
     r = h * w
     # 2D wavefront: (R/lane, lane) tiles the VPU fully (flat (R,) arrays
     # run on one sublane — measured 3.9x slower on v5e).
@@ -525,7 +526,10 @@ def render_pass(
     def bounce(carry, depth):
         org, direction, weight, env_on_miss, active, contrib, ray_count = carry
 
-        t, tid, front, hit = closest_fn(org, direction, eps)
+        # Stage names surface in xprof traces (--trace / jax.profiler),
+        # the per-stage breakdown SURVEY section 5 asks for.
+        with jax.named_scope("traverse_closest"):
+            t, tid, front, hit = closest_fn(org, direction, eps)
         hit = hit & active
 
         # Miss: environment (only for rays whose default primitive is the
@@ -542,28 +546,29 @@ def render_pass(
         t_d, b1, b2 = hit_attributes_rows(rows, org, direction, hit)
         t_sane = jnp.where(hit, t_d, 1.0)
 
-        res = shade_hits(
-            scene,
-            ctx.ms_lut,
-            ctx.tables,
-            sample_index,
-            depth,
-            org,
-            direction,
-            weight,
-            env_on_miss,
-            seq_id,
-            seq_off,
-            rows,
-            t_sane,
-            b1,
-            b2,
-            front,
-            hit,
-            max_ray_depth=options.max_ray_depth,
-            rr_start_depth=options.rr_start_depth,
-            sample_mode=options.sample_mode,
-        )
+        with jax.named_scope("shade"):
+            res = shade_hits(
+                scene,
+                ctx.ms_lut,
+                ctx.tables,
+                sample_index,
+                depth,
+                org,
+                direction,
+                weight,
+                env_on_miss,
+                seq_id,
+                seq_off,
+                rows,
+                t_sane,
+                b1,
+                b2,
+                front,
+                hit,
+                max_ray_depth=options.max_ray_depth,
+                rr_start_depth=options.rr_start_depth,
+                sample_mode=options.sample_mode,
+            )
         contrib = contrib + clamp(res.emission)
 
         p = org + direction * t_sane
@@ -575,7 +580,8 @@ def render_pass(
             res.shadow_dir,
             res.shadow_active,
         )
-        blocked = any_fn(s_org, s_dir, eps, res.shadow_max_t - 2.0 * eps)
+        with jax.named_scope("traverse_occlusion"):
+            blocked = any_fn(s_org, s_dir, eps, res.shadow_max_t - 2.0 * eps)
         lit = res.shadow_active & (~blocked)
         contrib = contrib + Vec3.where(
             lit, clamp(res.shadow_weight * res.shadow_radiance), 0.0
@@ -609,7 +615,8 @@ def render_pass(
     init = (org, direction, weight, env_on_miss, active, contrib, jnp.int32(0))
     (_, _, _, _, _, contrib, ray_count), _ = jax.lax.scan(bounce, init, depths)
 
-    update = _accum_update(contrib, h, w, alpha=alpha)
+    with jax.named_scope("accumulate"):
+        update = _accum_update(contrib, h, w, alpha=alpha)
     if with_stats:
         return accum + update, {"rays": ray_count}
     return accum + update
@@ -638,6 +645,15 @@ def render(
         num_passes = options.max_render_passes
     if accum is None:
         accum = jnp.zeros((4, options.height, options.width), jnp.float32)
+    if options.debug_pass_rendering:
+        # Pass debugging (``PassGenerator.h:145-149``): no progressive
+        # accumulation — render exactly the chosen pass so its single
+        # sample's contribution is inspectable.
+        frame = FrameGlobals.create(
+            sample_index=options.debug_pass_index,
+            max_channel_value=max_channel_value,
+        )
+        return render_pass(scene, camera, ctx, options, frame, accum), ctx
     for i in range(start_pass, start_pass + num_passes):
         frame = FrameGlobals.create(
             sample_index=i, max_channel_value=max_channel_value

@@ -99,3 +99,65 @@ class TestAccumAOVs:
     def test_inf_vis_clean_scene(self, scene):
         img = _render_aov(AOV.INFS, scene)
         assert img.max() <= 0.1 + 1e-5
+
+
+class TestNormalmapAOVs:
+    @pytest.fixture(scope="class")
+    def nm_scene(self):
+        b = SceneBuilder()
+        # Constant tangent-space normal map pointing along +Z (flat), with a
+        # recognizable red channel = 0.25.
+        nm = np.zeros((4, 4, 3), np.float32)
+        nm[..., 0] = 0.25
+        nm[..., 1] = 0.5
+        nm[..., 2] = 1.0
+        tex = b.add_texture(nm)
+        b.add_mesh(
+            sphere_mesh(16, 16, 1.0),
+            PBRParams(normal_tex=tex, clearcoat_normal_tex=tex, clearcoat=1.0),
+        )
+        b.set_environment(EnvironmentLightDesc())
+        return b.build()
+
+    def test_normalmap_shows_raw_texel(self, nm_scene):
+        img = _render_aov(AOV.NORMALMAP, nm_scene)
+        hit = img.sum(axis=-1) > 0
+        assert hit.any()
+        assert np.allclose(img[hit], [0.25, 0.5, 1.0], atol=1e-3)
+
+    def test_clearcoat_normalmap_shows_raw_texel(self, nm_scene):
+        img = _render_aov(AOV.CLEARCOAT_NORMALMAP, nm_scene)
+        hit = img.sum(axis=-1) > 0
+        assert hit.any()
+        assert np.allclose(img[hit], [0.25, 0.5, 1.0], atol=1e-3)
+
+    def test_normalmap_black_without_texture(self, scene):
+        # Materials without a normal map accumulate nothing (the reference
+        # compiles the branch out): pure black.
+        img = _render_aov(AOV.NORMALMAP, scene)
+        assert img.max() == 0.0
+
+
+class TestDebugPassFreeze:
+    def test_renders_only_the_chosen_pass(self, scene):
+        """debug_pass_rendering freezes accumulation to one pass
+        (``PassGenerator.h:145-149``)."""
+        import dataclasses
+
+        from heatray_tpu.options import RenderOptions
+
+        cam = orbit_camera(16, 16, distance=4.0, theta=0.4)
+        base = RenderOptions(
+            width=16, height=16, max_render_passes=4, max_ray_depth=2
+        )
+        # Reference image: pass 2 rendered alone via the normal path.
+        accum_direct, ctx = render(scene, cam, base, num_passes=1, start_pass=2)
+        frozen = dataclasses.replace(
+            base, debug_pass_rendering=True, debug_pass_index=2
+        )
+        # num_passes is ignored under the freeze: still exactly one pass.
+        accum_frozen, _ = render(scene, cam, frozen, num_passes=4, ctx=ctx)
+        np.testing.assert_allclose(
+            np.asarray(accum_frozen), np.asarray(accum_direct), rtol=1e-6
+        )
+        assert np.asarray(accum_frozen)[3].max() == 1.0  # one pass counted

@@ -112,7 +112,6 @@ if mode in ("all", "traverse"):
         for rt in (256, 512, 1024):
             sweep_closest(bvh, b_org, b_dir, f"leaf={leaf}", rt, HI)
     bvh64 = pack.bvh
-    sweep_closest(bvh64, b_org, b_dir, "leaf=64", 512, HG)
     # sorted variant: order bounce rays by parent-hit chunk id
     key = jnp.where(hit, tid // 64, 1 << 30)
     order = jnp.argsort(key)
