@@ -104,16 +104,66 @@ def main() -> None:
         file=sys.stderr,
     )
 
-    print(
-        json.dumps(
-            {
-                "metric": "fwd path-tracing throughput, Cornell box 1080p depth 4",
-                "value": round(mrays, 2),
-                "unit": "Mrays/s/chip",
-                "vs_baseline": round(mrays / 100.0, 3),
-            }
+    # Backward pass (BASELINE.md: "fwd+bwd measured"): gradient of an L2
+    # image loss w.r.t. material parameters through one full render pass
+    # (shade table rebuilt in-graph so gradients reach materials; hit ids
+    # stay detached through the Pallas kernels by design).
+    bwd_mrays = None
+    if os.environ.get("BENCH_BWD", "1") != "0":
+        from heatray_tpu.diff.inverse import apply_material_params
+
+        ctx_d = make_context(options, scene, static_shading=False)
+        accum0 = jnp.zeros((4, height, width), jnp.float32)
+        params = {
+            "base_color": scene.materials.base_color,
+            "roughness": scene.materials.roughness,
+        }
+
+        def loss_fn(params, idx):
+            s = apply_material_params(scene, params)
+            a = render_pass(
+                s, camera, ctx_d, options, FrameGlobals.create(idx), accum0
+            )
+            img = a[:3] / jnp.maximum(a[3:], 1.0)
+            return jnp.mean(img * img)
+
+        grad_fn = jax.jit(jax.value_and_grad(loss_fn))
+        t0 = time.time()
+        l0, g0 = grad_fn(params, 0)
+        jax.block_until_ready(l0)
+        print(
+            f"[bench] bwd warmup (compile + step): {time.time()-t0:.1f}s",
+            file=sys.stderr,
         )
-    )
+
+        def run_grad_chain(n: int) -> float:
+            t0 = time.time()
+            l = None
+            for i in range(n):
+                l, _ = grad_fn(params, 1 + i)
+            np.asarray(l)
+            return time.time() - t0
+
+        run_grad_chain(1)
+        g1 = run_grad_chain(1)
+        g2 = run_grad_chain(5)
+        dt_g = max((g2 - g1) / 4, 1e-9)
+        bwd_mrays = rays_per_pass / dt_g / 1e6
+        print(
+            f"[bench] fwd+bwd slope: {dt_g*1e3:.1f} ms/step -> "
+            f"{bwd_mrays:.1f} Mrays/s (fwd+bwd)",
+            file=sys.stderr,
+        )
+
+    result = {
+        "metric": "fwd path-tracing throughput, Cornell box 1080p depth 4",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s/chip",
+        "vs_baseline": round(mrays / 100.0, 3),
+    }
+    if bwd_mrays is not None:
+        result["fwd_bwd_mrays_per_s"] = round(bwd_mrays, 2)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

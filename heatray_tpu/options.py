@@ -80,6 +80,10 @@ class RenderOptions:
     # Triangles per BVH leaf (one fixed-size chunk per leaf; the Pallas
     # traversal hit-tests a whole leaf against a ray tile at once).
     bvh_leaf_size: int = 64
+    # Trilinear mip sampling with ray-cone LOD (the reference's default
+    # RL_LINEAR_MIPMAP_LINEAR samplers, ``Texture.h:51,86``); off = bilinear
+    # level-0 only.
+    use_mipmaps: bool = True
     # Pass debugging (``PassGenerator.h:145-149``): freeze rendering to the
     # single pass at ``debug_pass_index`` to inspect one sample's
     # contribution in isolation.

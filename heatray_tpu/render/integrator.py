@@ -523,8 +523,13 @@ def render_pass(
     else:
         clamp = lambda c: c.minimum(frame.max_channel_value)
 
+    # Ray-cone mip LOD: per-pixel angular width; the cone grows linearly
+    # with accumulated path length (distance-based LOD).
+    use_cone = options.use_mipmaps and scene.has_textures
+    pixel_cone = 2.0 * camera.fov_tan / jnp.float32(h)
+
     def bounce(carry, depth):
-        org, direction, weight, env_on_miss, active, contrib, ray_count = carry
+        org, direction, weight, env_on_miss, active, contrib, path_len, ray_count = carry
 
         # Stage names surface in xprof traces (--trace / jax.profiler),
         # the per-stage breakdown SURVEY section 5 asks for.
@@ -545,6 +550,7 @@ def render_pass(
         rows = gather_rows(shade_table, jnp.maximum(tid, 0))
         t_d, b1, b2 = hit_attributes_rows(rows, org, direction, hit)
         t_sane = jnp.where(hit, t_d, 1.0)
+        path_len = path_len + jnp.where(hit, t_sane, 0.0)
 
         with jax.named_scope("shade"):
             res = shade_hits(
@@ -568,6 +574,7 @@ def render_pass(
                 max_ray_depth=options.max_ray_depth,
                 rr_start_depth=options.rr_start_depth,
                 sample_mode=options.sample_mode,
+                footprint_world=(pixel_cone * path_len) if use_cone else None,
             )
         contrib = contrib + clamp(res.emission)
 
@@ -607,13 +614,17 @@ def render_pass(
             res.ext_env_on_miss,
             res.ext_active,
             contrib,
+            path_len,
             ray_count,
         )
         return new_carry, None
 
     depths = jnp.arange(1, options.max_ray_depth + 1, dtype=jnp.int32)
-    init = (org, direction, weight, env_on_miss, active, contrib, jnp.int32(0))
-    (_, _, _, _, _, contrib, ray_count), _ = jax.lax.scan(bounce, init, depths)
+    init = (
+        org, direction, weight, env_on_miss, active, contrib,
+        jnp.zeros(shape2, jnp.float32), jnp.int32(0),
+    )
+    (_, _, _, _, _, contrib, _, ray_count), _ = jax.lax.scan(bounce, init, depths)
 
     with jax.named_scope("accumulate"):
         update = _accum_update(contrib, h, w, alpha=alpha)

@@ -28,6 +28,8 @@ vectors/colors are planar ``Vec3`` (see ``heatray_tpu.vec``).
 
 from __future__ import annotations
 
+import functools
+
 import jax.numpy as jnp
 from flax import struct
 
@@ -102,8 +104,13 @@ def shade_hits(
     max_ray_depth: int,
     rr_start_depth: int = 3,
     sample_mode: str = "sobol",
+    footprint_world=None,
 ) -> ShadeResult:
-    """Shade one wavefront of surface hits (masked by ``active``)."""
+    """Shade one wavefront of surface hits (masked by ``active``).
+
+    ``footprint_world`` (R,) is the ray-cone width at the hit (world units);
+    with it, texture fetches become trilinear mip samples (``Texture.h:51``).
+    """
     lights = scene.lights
 
     w0 = 1.0 - b1 - b2
@@ -131,29 +138,45 @@ def shade_hits(
     if scene.has_textures:
         uv_u, uv_v = rows.interp_uv(w0, b1, b2)
         atlas = scene.atlas
+        # Ray-cone footprint in UV units -> trilinear mip LOD; the 1/cos
+        # term widens the footprint at grazing incidence (isotropic
+        # approximation of the projected ellipse).
+        if footprint_world is None:
+            uv_fp = None
+        else:
+            geo_n = rows.vec(st.GEO_N)
+            cos_in = jnp.abs(
+                geo_n.x * ray_dir.x + geo_n.y * ray_dir.y + geo_n.z * ray_dir.z
+            )
+            uv_fp = (
+                footprint_world
+                * rows.col(st.UV_DENSITY)
+                / jnp.maximum(cos_in, 0.05)
+            )
+        sample_tx = functools.partial(sample_atlas, footprint=uv_fp)
 
         bc_tex = rows.icol(st.BC_TEX)
         has_bc = bc_tex >= 0
-        bcr, bcg, bcb, bca = sample_atlas(atlas, bc_tex, uv_u, uv_v)
+        bcr, bcg, bcb, bca = sample_tx(atlas, bc_tex, uv_u, uv_v)
         base_color = base_color * Vec3.where(has_bc, Vec3(bcr, bcg, bcb), 1.0)
         alpha_texel = jnp.where(has_bc, bca, 1.0)
 
         mr_tex = rows.icol(st.MR_TEX)
         has_mr = mr_tex >= 0
-        _, mr_g, mr_b, _ = sample_atlas(atlas, mr_tex, uv_u, uv_v)
+        _, mr_g, mr_b, _ = sample_tx(atlas, mr_tex, uv_u, uv_v)
         metallic = jnp.where(has_mr, metallic * mr_b, metallic)
         roughness = jnp.where(has_mr, roughness * mr_g, roughness)
         alpha = jnp.where(has_mr, roughness * roughness, alpha)
 
         em_tex = rows.icol(st.EM_TEX)
-        em_r, em_g, em_b, _ = sample_atlas(atlas, em_tex, uv_u, uv_v)
+        em_r, em_g, em_b, _ = sample_tx(atlas, em_tex, uv_u, uv_v)
         # The reference REPLACES emissive with the texture (``:154-157``).
         emissive_c = Vec3.where(em_tex >= 0, Vec3(em_r, em_g, em_b), emissive_c)
 
         cc_tex = rows.icol(st.CC_TEX)
         ccr_tex = rows.icol(st.CCR_TEX)
-        cc_texel = sample_atlas(atlas, cc_tex, uv_u, uv_v, num_channels=1)[0]
-        ccr_texel = sample_atlas(atlas, ccr_tex, uv_u, uv_v, num_channels=1)[0]
+        cc_texel = sample_tx(atlas, cc_tex, uv_u, uv_v, num_channels=1)[0]
+        ccr_texel = sample_tx(atlas, ccr_tex, uv_u, uv_v, num_channels=1)[0]
         clearcoat = jnp.where(cc_tex >= 0, clearcoat * cc_texel, clearcoat)
         cc_rough = jnp.where(ccr_tex >= 0, cc_rough * ccr_texel, cc_rough)
         cc_alpha = jnp.where(ccr_tex >= 0, cc_rough * cc_rough, cc_alpha)
@@ -181,12 +204,12 @@ def shade_hits(
         ccn_tex = rows.icol(st.CCN_TEX)
         tang = rows.interp_vec(st.TAN0, w0, b1, b2).normalized()
         bitang = rows.interp_vec(st.BTN0, w0, b1, b2).normalized()
-        nm_r, nm_g, nm_b, _ = sample_atlas(atlas, nm_tex, uv_u, uv_v)
+        nm_r, nm_g, nm_b, _ = sample_tx(atlas, nm_tex, uv_u, uv_v)
         ts = Vec3(nm_r, nm_g, nm_b) * 2.0 - 1.0
         n_mapped = (tang * ts.x + bitang * ts.y + n * ts.z).normalized()
         # Clearcoat normal comes from the PRE-normalmap surface normal
         # (``physicallyBased.rlsl:111,119-126``).
-        ccn_r, ccn_g, ccn_b, _ = sample_atlas(atlas, ccn_tex, uv_u, uv_v)
+        ccn_r, ccn_g, ccn_b, _ = sample_tx(atlas, ccn_tex, uv_u, uv_v)
         cts = Vec3(ccn_r, ccn_g, ccn_b) * 2.0 - 1.0
         cc_n = Vec3.where(
             ccn_tex >= 0,

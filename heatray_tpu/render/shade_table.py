@@ -53,7 +53,11 @@ CC_TEX = 78
 CCR_TEX = 79
 CCN_TEX = 80
 ALPHA_MASK = 81
-NUM_COLS = 82
+# sqrt(uv_area / world_area): UV length per world unit, the per-triangle
+# texel-density term of the ray-cone mip LOD (zero when the triangle has
+# degenerate UVs, which disables mip selection for it).
+UV_DENSITY = 82
+NUM_COLS = 83
 
 
 def build_shade_table(scene: Scene, accel: WoopAccel) -> jnp.ndarray:
@@ -102,6 +106,25 @@ def build_shade_table(scene: Scene, accel: WoopAccel) -> jnp.ndarray:
     cols.append(mat(mats.clearcoat_roughness_tex))
     cols.append(mat(mats.clearcoat_normal_tex))
     cols.append(mat(mats.alpha_mask))
+
+    # Per-triangle UV density for ray-cone mip LOD (``Texture.h:51``'s
+    # trilinear sampling needs a footprint; OpenRL derives it internally).
+    def corner(arr, idx):
+        return tuple(jnp.take(arr[k], idx) for k in range(3))
+
+    p0, p1, p2 = (corner(geom.positions, i) for i in (i0, i1, i2))
+    e1 = tuple(p1[k] - p0[k] for k in range(3))
+    e2 = tuple(p2[k] - p0[k] for k in range(3))
+    cx = e1[1] * e2[2] - e1[2] * e2[1]
+    cy = e1[2] * e2[0] - e1[0] * e2[2]
+    cz = e1[0] * e2[1] - e1[1] * e2[0]
+    world_2area = jnp.sqrt(cx * cx + cy * cy + cz * cz)
+    u0, v0 = jnp.take(geom.uvs[0], i0), jnp.take(geom.uvs[1], i0)
+    u1, v1 = jnp.take(geom.uvs[0], i1), jnp.take(geom.uvs[1], i1)
+    u2, v2 = jnp.take(geom.uvs[0], i2), jnp.take(geom.uvs[1], i2)
+    uv_2area = jnp.abs((u1 - u0) * (v2 - v0) - (u2 - u0) * (v1 - v0))
+    cols.append(jnp.sqrt(uv_2area / jnp.maximum(world_2area, 1e-12)))
+
     assert len(cols) == NUM_COLS
     return jnp.stack(cols, axis=1)  # (T, K)
 

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from typing import List, Optional, Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -35,19 +36,45 @@ def srgb_to_linear_np(srgb: np.ndarray) -> np.ndarray:
 class TextureAtlas:
     """Packed texture data (a pytree).
 
-    ``data`` is (4, A): RGBA planar, all textures flattened row-major and
-    concatenated.  Descriptor arrays are indexed by texture id.  A texture's
-    texel (x, y) lives at ``offset + y * width + x``.
+    ``data`` is (4, A): RGBA planar, all textures (and their mip chains)
+    flattened row-major and concatenated.  Descriptor arrays are indexed by
+    texture id; a texture's level-l texel (x, y) lives at
+    ``mip_offset[id, l] + y * mip_width[id, l] + x``.  ``offset/width/height``
+    are level 0.  Textures whose chain is shorter than ``num_levels`` repeat
+    their 1x1 tail level, so clamping an LOD to ``num_levels - 1`` is always
+    safe.  The mip chains replace the reference's RL mipmapped samplers
+    (``RLWrapper/Texture.h:51,86``, default RL_LINEAR_MIPMAP_LINEAR).
     """
 
     data: jnp.ndarray  # (4, A) f32
     offset: jnp.ndarray  # (N,) i32
     width: jnp.ndarray  # (N,) i32
     height: jnp.ndarray  # (N,) i32
+    mip_offset: jnp.ndarray  # (N, L) i32
+    mip_width: jnp.ndarray  # (N, L) i32
+    mip_height: jnp.ndarray  # (N, L) i32
 
     @property
     def num_textures(self) -> int:
         return self.offset.shape[0]
+
+    @property
+    def num_levels(self) -> int:
+        return self.mip_offset.shape[1]
+
+
+def _downsample2x(img: np.ndarray) -> np.ndarray:
+    """One mip level down: 2x2 box filter ((H, W, 4) -> (ceil(H/2),
+    ceil(W/2), 4)); odd dimensions replicate their last row/column."""
+    h, w, _ = img.shape
+    if h & 1:
+        img = np.concatenate([img, img[-1:]], axis=0)
+    if w & 1:
+        img = np.concatenate([img, img[:, -1:]], axis=1)
+    h2, w2 = img.shape[0] // 2, img.shape[1] // 2
+    return (
+        img.reshape(h2, 2, w2, 2, 4).mean(axis=(1, 3)).astype(np.float32)
+    )
 
 
 class AtlasBuilder:
@@ -89,46 +116,50 @@ class AtlasBuilder:
     def num_textures(self) -> int:
         return len(self._images)
 
-    def build(self) -> TextureAtlas:
+    def build(self, mips: bool = True) -> TextureAtlas:
         images = self._images or [np.ones((1, 1, 4), np.float32)]  # stable dummy
-        offsets, widths, heights, chunks = [], [], [], []
-        off = 0
+        # Full mip chains down to 1x1 (``Texture.h:86`` generates mipmaps by
+        # default); ~1/3 extra memory.
+        chains = []
         for img in images:
-            h, w, _ = img.shape
-            offsets.append(off)
-            widths.append(w)
-            heights.append(h)
-            chunks.append(img.reshape(h * w, 4))
-            off += h * w
+            chain = [img]
+            while mips and (chain[-1].shape[0] > 1 or chain[-1].shape[1] > 1):
+                chain.append(_downsample2x(chain[-1]))
+            chains.append(chain)
+        num_levels = max(len(c) for c in chains)
+
+        chunks = []
+        mip_off = np.zeros((len(images), num_levels), np.int32)
+        mip_w = np.zeros((len(images), num_levels), np.int32)
+        mip_h = np.zeros((len(images), num_levels), np.int32)
+        off = 0
+        for i, chain in enumerate(chains):
+            for lvl in range(num_levels):
+                img = chain[min(lvl, len(chain) - 1)]
+                h, w, _ = img.shape
+                if lvl < len(chain):
+                    chunks.append(img.reshape(h * w, 4))
+                    mip_off[i, lvl] = off
+                    off += h * w
+                else:
+                    # Short chain: alias the 1x1 tail level.
+                    mip_off[i, lvl] = mip_off[i, len(chain) - 1]
+                mip_w[i, lvl] = w
+                mip_h[i, lvl] = h
         data = np.concatenate(chunks, axis=0).T  # (4, A)
         return TextureAtlas(
             data=jnp.asarray(np.ascontiguousarray(data)),
-            offset=jnp.asarray(np.asarray(offsets, np.int32)),
-            width=jnp.asarray(np.asarray(widths, np.int32)),
-            height=jnp.asarray(np.asarray(heights, np.int32)),
+            offset=jnp.asarray(mip_off[:, 0]),
+            width=jnp.asarray(mip_w[:, 0]),
+            height=jnp.asarray(mip_h[:, 0]),
+            mip_offset=jnp.asarray(mip_off),
+            mip_width=jnp.asarray(mip_w),
+            mip_height=jnp.asarray(mip_h),
         )
 
 
-def sample_atlas(
-    atlas: TextureAtlas,
-    tex_id: jnp.ndarray,
-    u: jnp.ndarray,
-    v: jnp.ndarray,
-    num_channels: int = 4,
-):
-    """Bilinear wrap-sample per-ray textures from the atlas.
-
-    ``tex_id`` (R,) i32 (callers mask out id < 0 afterwards); ``u``/``v``
-    (R,) f32 texture coordinates with GL-style wrap.  Returns
-    ``num_channels`` flat (R,) arrays.
-
-    The reference samples textures with OpenRL's texture units; here the
-    four bilinear corners are explicit gathers into the flat atlas buffer.
-    """
-    tid = jnp.maximum(tex_id, 0)
-    w = jnp.take(atlas.width, tid)
-    h = jnp.take(atlas.height, tid)
-    base = jnp.take(atlas.offset, tid)
+def _bilinear(atlas, base, w, h, u, v, num_channels):
+    """Bilinear GL-REPEAT sample at one mip level (per-ray base/w/h)."""
     wf = w.astype(jnp.float32)
     hf = h.astype(jnp.float32)
 
@@ -167,3 +198,64 @@ def sample_atlas(
         bot = c01 + (c11 - c01) * fx
         out.append(top + (bot - top) * fy)
     return out
+
+
+def _mip_descr(atlas: TextureAtlas, tid, lvl):
+    """Per-ray (base, w, h) of mip level ``lvl`` (both (R,) i32)."""
+    flat = tid * atlas.num_levels + lvl
+    return (
+        jnp.take(atlas.mip_offset.reshape(-1), flat),
+        jnp.take(atlas.mip_width.reshape(-1), flat),
+        jnp.take(atlas.mip_height.reshape(-1), flat),
+    )
+
+
+def sample_atlas(
+    atlas: TextureAtlas,
+    tex_id: jnp.ndarray,
+    u: jnp.ndarray,
+    v: jnp.ndarray,
+    num_channels: int = 4,
+    footprint: jnp.ndarray | None = None,
+):
+    """Bilinear (or, with ``footprint``, trilinear) wrap-sample per-ray
+    textures from the atlas.
+
+    ``tex_id`` (R,) i32 (callers mask out id < 0 afterwards); ``u``/``v``
+    (R,) f32 texture coordinates with GL-style wrap.  ``footprint`` (R,) is
+    the ray-cone footprint in UV units: the sampled LOD is
+    ``log2(footprint * texture_resolution)``, interpolated between the two
+    straddling mip levels — the gather-based equivalent of the reference's
+    trilinear samplers (``Texture.h:51`` RL_LINEAR_MIPMAP_LINEAR).  Returns
+    ``num_channels`` flat (R,) arrays.
+
+    The reference samples textures with OpenRL's texture units; here the
+    four (eight trilinear) corners are explicit gathers into the flat atlas
+    buffer.
+    """
+    tid = jnp.maximum(tex_id, 0)
+    if footprint is None or atlas.num_levels <= 1:
+        w = jnp.take(atlas.width, tid)
+        h = jnp.take(atlas.height, tid)
+        base = jnp.take(atlas.offset, tid)
+        return _bilinear(atlas, base, w, h, u, v, num_channels)
+
+    w0 = jnp.take(atlas.width, tid).astype(jnp.float32)
+    h0 = jnp.take(atlas.height, tid).astype(jnp.float32)
+    # Texels covered by the footprint at level 0 (isotropic approximation).
+    texels = jnp.maximum(footprint, 1e-8) * jnp.sqrt(w0 * h0)
+    lod = jnp.clip(
+        jnp.log2(texels), 0.0, jnp.float32(atlas.num_levels - 1)
+    )
+    # Detach: the LOD choice is piecewise-constant scene structure, not a
+    # differentiable quantity (matches detached hit/lobe decisions).
+    lod = jax.lax.stop_gradient(lod)
+    l0 = lod.astype(jnp.int32)
+    l1 = jnp.minimum(l0 + 1, atlas.num_levels - 1)
+    fl = lod - l0.astype(jnp.float32)
+
+    b0, w0i, h0i = _mip_descr(atlas, tid, l0)
+    b1, w1i, h1i = _mip_descr(atlas, tid, l1)
+    lo = _bilinear(atlas, b0, w0i, h0i, u, v, num_channels)
+    hi = _bilinear(atlas, b1, w1i, h1i, u, v, num_channels)
+    return [a + (b - a) * fl for a, b in zip(lo, hi)]

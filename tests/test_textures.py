@@ -181,3 +181,101 @@ class TestTexturedRender:
         img_nm = np.asarray(resolve(render(build(True), cam, opts, num_passes=4)[0]))
         assert np.isfinite(img_nm).all()
         assert np.abs(img_nm - img_flat).max() > 1e-3
+
+
+class TestMipmaps:
+    def _checker(self, n=64):
+        img = np.indices((n, n)).sum(axis=0) % 2
+        return img.astype(np.float32)
+
+    def test_mip_chain_descriptors(self):
+        from heatray_tpu.scene.textures import AtlasBuilder
+
+        b = AtlasBuilder()
+        b.add(self._checker(64))
+        b.add(np.ones((8, 8, 3), np.float32))
+        atlas = b.build()
+        assert atlas.num_levels == 7  # 64 -> 1
+        # Level sizes halve; short chains alias their 1x1 tail.
+        assert list(np.asarray(atlas.mip_width[0])) == [64, 32, 16, 8, 4, 2, 1]
+        assert list(np.asarray(atlas.mip_width[1])) == [8, 4, 2, 1, 1, 1, 1]
+        off1 = np.asarray(atlas.mip_offset[1])
+        assert (off1[3:] == off1[3]).all()
+
+    def test_coarsest_level_is_mean(self):
+        from heatray_tpu.scene.textures import AtlasBuilder, sample_atlas
+
+        b = AtlasBuilder()
+        b.add(self._checker(32))
+        atlas = b.build()
+        # Huge footprint forces the 1x1 tail = the image mean (0.5).
+        r = sample_atlas(
+            atlas,
+            jnp.zeros((4,), jnp.int32),
+            jnp.array([0.1, 0.4, 0.6, 0.9]),
+            jnp.array([0.2, 0.7, 0.3, 0.8]),
+            footprint=jnp.full((4,), 1e6, jnp.float32),
+        )
+        np.testing.assert_allclose(np.asarray(r[0]), 0.5, atol=1e-6)
+
+    def test_zero_footprint_matches_bilinear(self):
+        from heatray_tpu.scene.textures import AtlasBuilder, sample_atlas
+
+        b = AtlasBuilder()
+        b.add(self._checker(16))
+        atlas = b.build()
+        u = jnp.linspace(0.05, 0.95, 7)
+        v = jnp.linspace(0.1, 0.9, 7)
+        tid = jnp.zeros((7,), jnp.int32)
+        lo = sample_atlas(atlas, tid, u, v)
+        tri = sample_atlas(
+            atlas, tid, u, v, footprint=jnp.zeros((7,), jnp.float32)
+        )
+        np.testing.assert_allclose(np.asarray(tri[0]), np.asarray(lo[0]), atol=1e-6)
+
+    def test_minification_reduces_variance(self):
+        """A distant checkered plane: trilinear mip sampling must cut the
+        pixel-to-pixel variance versus raw bilinear (the aliasing the
+        reference's RL_LINEAR_MIPMAP_LINEAR samplers remove)."""
+        import dataclasses
+
+        from heatray_tpu.camera import orbit_camera
+        from heatray_tpu.options import RenderOptions
+        from heatray_tpu.render import render, resolve
+        from heatray_tpu.scene import PBRParams, SceneBuilder, plane_mesh
+        from heatray_tpu.scene.lights import EnvironmentLightDesc
+
+        def build():
+            b = SceneBuilder()
+            tex = b.add_texture(self._checker(256))
+            b.add_mesh(
+                plane_mesh(40, 40),
+                PBRParams(base_color_tex=tex, roughness=1.0),
+            )
+            b.set_environment(EnvironmentLightDesc(solid_color=(1, 1, 1)))
+            return b.build()
+
+        scene = build()
+        cam = orbit_camera(32, 32, distance=30.0, theta=0.25)
+        base = RenderOptions(
+            width=32, height=32, max_render_passes=1, max_ray_depth=1
+        )
+        img_mip = np.asarray(
+            resolve(render(scene, cam, base, num_passes=1)[0])
+        )
+        img_raw = np.asarray(
+            resolve(
+                render(
+                    scene, cam,
+                    dataclasses.replace(base, use_mipmaps=False),
+                    num_passes=1,
+                )[0]
+            )
+        )
+        hit = img_raw.sum(axis=-1) > 0
+        assert hit.sum() > 50
+        var_mip = img_mip[hit][:, 0].var()
+        var_raw = img_raw[hit][:, 0].var()
+        # Near pixels stay at LOD 0 (correctly sharp), so the reduction is
+        # bounded; require a clear, deterministic drop.
+        assert var_mip < 0.75 * var_raw, (var_mip, var_raw)

@@ -176,3 +176,39 @@ if mode in ("all", "shade"):
         return img.reshape(4, -1)[0] * 0.0
     chain_time("accum reshape", acc_step, jnp.zeros((R,)))
 print("DONE", file=sys.stderr)
+
+if mode == "sorted":
+    # Strong coherence key: 6-bit Morton of the ray origin within the scene
+    # AABB + 3-bit direction octant.  Compare traversal cost on the real
+    # bounce wavefront, sorted vs unsorted, across leaf/tile sizes.
+    lo = jnp.array([jnp.min(b_org.x), jnp.min(b_org.y), jnp.min(b_org.z)])
+    hi = jnp.array([jnp.max(b_org.x), jnp.max(b_org.y), jnp.max(b_org.z)])
+
+    def q(c, l, h, bits=6):
+        return jnp.clip(((c - l) / jnp.maximum(h - l, 1e-6) * (1 << bits)).astype(jnp.int32), 0, (1 << bits) - 1)
+
+    def part1by2(x):
+        x &= 0x3F
+        x = (x | (x << 8)) & 0x0300F00F
+        x = (x | (x << 4)) & 0x030C30C3
+        x = (x | (x << 2)) & 0x09249249
+        return x
+
+    qx, qy, qz = q(b_org.x, lo[0], hi[0]), q(b_org.y, lo[1], hi[1]), q(b_org.z, lo[2], hi[2])
+    morton = part1by2(qx) | (part1by2(qy) << 1) | (part1by2(qz) << 2)
+    octant = ((b_dir.x >= 0).astype(jnp.int32)
+              | ((b_dir.y >= 0).astype(jnp.int32) << 1)
+              | ((b_dir.z >= 0).astype(jnp.int32) << 2))
+    key = (morton << 3) | octant
+    key = jnp.where(res.ext_active.reshape(-1) if hasattr(res.ext_active, 'reshape') else res.ext_active, key, jnp.int32(1 << 30))
+    order = jnp.argsort(key)
+    so = b_org.map(lambda c: jnp.take(c, order))
+    sd = b_dir.map(lambda c: jnp.take(c, order))
+    jax.block_until_ready(so.x)
+    for leaf in (16, 32, 64):
+        bvh = build_bvh(accel, leaf_size=leaf) if leaf != 64 else pack.bvh
+        for rt in (256, 512):
+            sweep_closest(bvh, so, sd, f"MORTON-SORT leaf={leaf}", rt, HI)
+    # Unsorted baselines for leaf=16
+    bvh16 = build_bvh(accel, leaf_size=16)
+    sweep_closest(bvh16, b_org, b_dir, "unsorted leaf=16", 256, HI)
