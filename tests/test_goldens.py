@@ -51,8 +51,11 @@ def _config1():
         PBRParams(base_color=(0.8, 0.8, 0.8)),
         transform=translate([0, -1.0, 0]),
     )
+    # DirectionalLight.direction points *toward* the light
+    # (``DirectionalLight.h:32-47`` orientation semantics, lights.py:56):
+    # the sun sits up and to the +x/+z side of the scene.
     b.add_directional_light(
-        DirectionalLight(direction=(-0.4, -0.8, -0.45), illuminance=20000.0)
+        DirectionalLight(direction=(0.4, 0.8, 0.45), illuminance=20000.0)
     )
     scene = b.build()
     cam = orbit_camera(SIZE, SIZE, distance=5.0, theta=0.35)
@@ -160,10 +163,15 @@ def test_golden(name):
     assert img.max() > 0.0, f"{name}: black render"
 
     path = GOLDEN_DIR / f"{name}.npy"
-    if os.environ.get("GOLDEN_UPDATE") == "1" or not path.exists():
+    if os.environ.get("GOLDEN_UPDATE") == "1":
         GOLDEN_DIR.mkdir(exist_ok=True)
         np.save(path, img.astype(np.float16))
         pytest.skip(f"golden (re)written: {path}")
+    # A missing golden is a FAILURE, not a skip: otherwise a fresh checkout
+    # silently regenerates and the regression gate regresses nothing.
+    assert path.exists(), (
+        f"golden missing: {path} — generate with GOLDEN_UPDATE=1 and commit"
+    )
     golden = np.load(path).astype(np.float32)
     # f16 storage quantization ~1e-3 relative; estimator changes move pixels
     # by orders of magnitude more.
@@ -172,11 +180,19 @@ def test_golden(name):
 
 @pytest.mark.parametrize("name", ["config2_cornell", "config4_glass_dof"])
 def test_nan_inf_cleanliness(name):
-    """NaN/Inf AOVs as CI gates: every sample must be finite (dim <= 0.1)."""
+    """NaN/Inf AOVs as CI gates (``accumulator.rlsl:16-21``): an offending
+    sample accumulates 100; clean samples dim to ``min(c,1)*0.1`` *per
+    accumulated contribution* (env + emission + NEE, each bounce — exactly
+    like the reference, whose visualizer wraps every ``accumulate()``).  A
+    clean depth-D render therefore peaks around ``0.1 * (2D + 1)``; a single
+    fired detector lands at >= 100.  Gate well between the two."""
     scene, cam, opts = CONFIGS[name]()
     for mode in (AOV.NANS, AOV.INFS):
         accum, _ = render(
             scene, cam, dataclasses.replace(opts, aov=mode), num_passes=1
         )
         img = np.asarray(resolve(accum))
-        assert img.max() <= 0.1 + 1e-5, f"{name}: {mode} detector fired"
+        clean_ceiling = 0.1 * (2 * opts.max_ray_depth + 1)
+        assert img.max() <= clean_ceiling + 1e-5, (
+            f"{name}: {mode} detector fired (max={img.max()})"
+        )

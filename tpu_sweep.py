@@ -175,7 +175,6 @@ if mode in ("all", "shade"):
         img = jnp.stack([c.reshape(H, W)] * 4, axis=0)
         return img.reshape(4, -1)[0] * 0.0
     chain_time("accum reshape", acc_step, jnp.zeros((R,)))
-print("DONE", file=sys.stderr)
 
 if mode == "sorted":
     # Strong coherence key: 6-bit Morton of the ray origin within the scene
@@ -200,7 +199,7 @@ if mode == "sorted":
               | ((b_dir.y >= 0).astype(jnp.int32) << 1)
               | ((b_dir.z >= 0).astype(jnp.int32) << 2))
     key = (morton << 3) | octant
-    key = jnp.where(res.ext_active.reshape(-1) if hasattr(res.ext_active, 'reshape') else res.ext_active, key, jnp.int32(1 << 30))
+    key = jnp.where(res.ext_active.reshape(-1), key, jnp.int32(1 << 30))
     order = jnp.argsort(key)
     so = b_org.map(lambda c: jnp.take(c, order))
     sd = b_dir.map(lambda c: jnp.take(c, order))
@@ -212,3 +211,5 @@ if mode == "sorted":
     # Unsorted baselines for leaf=16
     bvh16 = build_bvh(accel, leaf_size=16)
     sweep_closest(bvh16, b_org, b_dir, "unsorted leaf=16", 256, HI)
+
+print("DONE", file=sys.stderr)
