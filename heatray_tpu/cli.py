@@ -125,6 +125,22 @@ def cmd_render(args) -> int:
     t0 = time.time()
     import contextlib
 
+    post = PostProcessingParams(tonemapping_enabled=args.tonemap)
+    pass_callback = None
+    viewer = None
+    if args.preview is not None:
+        from heatray_tpu.viewer import ProgressiveViewer
+
+        viewer = ProgressiveViewer(port=args.preview).start()
+        print(
+            f"live preview: http://localhost:{viewer.port}/ "
+            f"(updates every {args.preview_every} pass(es))",
+            file=sys.stderr,
+        )
+        pass_callback = viewer.make_callback(
+            options, post, every=args.preview_every
+        )
+
     if args.trace:
         import jax
 
@@ -135,6 +151,7 @@ def cmd_render(args) -> int:
         accum, _ = render(
             scene, camera, options, num_passes=args.passes,
             max_channel_value=args.max_channel,
+            pass_callback=pass_callback,
         )
         accum.block_until_ready()
     dt = time.time() - t0
@@ -143,13 +160,20 @@ def cmd_render(args) -> int:
     print(f"rendered {options.width}x{options.height} x{args.passes} passes "
           f"in {dt:.1f}s", file=sys.stderr)
 
-    post = PostProcessingParams(tonemapping_enabled=args.tonemap)
     img = apply_post_pipeline(accum, post)
     if args.out.endswith((".tiff", ".tif", ".npy", ".exr", ".hdr")):
         save_hdr(args.out, np.asarray(resolve(accum)))
     else:
         save_ldr(args.out, np.asarray(img))
     print(f"wrote {args.out}", file=sys.stderr)
+    if viewer is not None and args.preview_hold:
+        print("render done; preview still serving (ctrl-C to exit)",
+              file=sys.stderr)
+        try:
+            while True:
+                time.sleep(1.0)
+        except KeyboardInterrupt:
+            pass
     return 0
 
 
@@ -233,6 +257,15 @@ def main(argv=None) -> int:
                         "(PassGenerator.h:145-149)")
     p.add_argument("--trace", default=None, metavar="DIR",
                    help="write a jax.profiler (xprof) trace of the render")
+    p.add_argument("--preview", type=int, nargs="?", const=8000, default=None,
+                   metavar="PORT",
+                   help="serve a live progressive preview over HTTP "
+                        "(the headless analog of the reference's window, "
+                        "HeatrayRenderer.cpp:319-403)")
+    p.add_argument("--preview-every", type=int, default=1, metavar="N",
+                   help="update the preview every N passes")
+    p.add_argument("--preview-hold", action="store_true",
+                   help="keep serving the preview after the render finishes")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser(

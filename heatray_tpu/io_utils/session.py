@@ -217,6 +217,21 @@ def load_session(path: str, override_size: Optional[Tuple[int, int]] = None):
             name, env=env, scale=float(session.get("Scene", "DistanceScale"))
         )
 
+    # Scene-group transform variables (``Session.h:20-75`` RotationYaw/
+    # Pitch/Roll/Scale), applied as the reference's modifyScene does
+    # (``HeatrayRenderer.cpp:674-683``).
+    sc = session.values["Scene"]
+    yaw = float(sc.get("RotationYaw", 0.0))
+    pitch = float(sc.get("RotationPitch", 0.0))
+    roll = float(sc.get("RotationRoll", 0.0))
+    uniform = float(sc.get("Scale", 1.0))
+    if (yaw, pitch, roll) != (0.0, 0.0, 0.0) or uniform != 1.0:
+        from ..scene.edit import apply_transform, trs_matrix
+
+        scene = apply_transform(
+            scene, trs_matrix(yaw=yaw, pitch=pitch, roll=roll, scale=uniform)
+        )
+
     options = session.to_render_options(width, height)
     camera = session.to_camera(width, height)
     return scene, camera, options

@@ -117,13 +117,37 @@ def _pair_hits(rays, wm, tc, t_min, t_max_row, precision=jax.lax.Precision.HIGHE
     o_feat = rays[0:4, :]  # (4, Rt): ox, oy, oz, 1
     d_feat = rays[4:8, :]  # (4, Rt): dx, dy, dz, 0
     dims = (((0,), (0,)), ((), ()))
-    # precision=HIGHEST: the MXU's native bf16 passes lose ~16 mantissa bits,
-    # which the Woop affine (inverse matrices of sliver triangles) amplifies
-    # into wrong hit ids; HIGHEST forces the full-f32 multi-pass schedule.
-    po = jax.lax.dot_general(wm, o_feat, dims, preferred_element_type=jnp.float32,
-                             precision=precision)
-    pd = jax.lax.dot_general(wm, d_feat, dims, preferred_element_type=jnp.float32,
-                             precision=precision)
+    if precision == "bf16x3":
+        # Manual bf16x3: split both operands hi/lo and drop the lo*lo term —
+        # ~f32-accurate (error ~2^-22 relative) at HALF the MXU passes of
+        # Precision.HIGHEST's bf16x6 schedule (Mosaic has no HIGH lowering).
+        # The split ops are VPU-cheap next to the K=4 matmul passes.
+        def split(x):
+            hi = x.astype(jnp.bfloat16)
+            lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+            return hi, lo
+
+        def dot3(a, b):
+            ah, al = split(a)
+            bh, bl = split(b)
+            d = functools.partial(
+                jax.lax.dot_general,
+                dimension_numbers=dims,
+                preferred_element_type=jnp.float32,
+            )
+            return d(ah, bh) + (d(ah, bl) + d(al, bh))
+
+        po = dot3(wm, o_feat)
+        pd = dot3(wm, d_feat)
+    else:
+        # precision=HIGHEST: the MXU's native bf16 passes lose ~16 mantissa
+        # bits, which the Woop affine (inverse matrices of sliver triangles)
+        # amplifies into wrong hit ids; HIGHEST forces the full-f32
+        # multi-pass schedule.
+        po = jax.lax.dot_general(wm, o_feat, dims, preferred_element_type=jnp.float32,
+                                 precision=precision)
+        pd = jax.lax.dot_general(wm, d_feat, dims, preferred_element_type=jnp.float32,
+                                 precision=precision)
     ob1, ob2, os_ = po[:tc], po[tc : 2 * tc], po[2 * tc :]
     db1, db2, ds = pd[:tc], pd[tc : 2 * tc], pd[2 * tc :]
     dz_ok = jnp.abs(ds) > _DZ_EPS

@@ -1,0 +1,477 @@
+"""Wide (arity-8) BVH: builder + Pallas TPU traversal kernels.
+
+The round-3 performance core, replacing the binary skip-pointer walk of
+``traverse_pallas.py`` on the hot path.  Why wide, on this machine:
+
+- The binary kernel slab-tests ONE node box per scalar-loop iteration as a
+  ``(1, Rt)`` row — 1/8 of the VPU's sublanes, and one serial iteration per
+  node.  An arity-8 node tests all 8 children at once as ``(8, Rt)`` tiles:
+  full VPU, and the per-tile node walk shrinks by ~the arity.
+- Child boxes live in VMEM laid out ``(Nw, 8, 8)`` (children on sublanes,
+  box coords on lanes 0..5) so the kernel reads ``(8, 1)`` coordinate
+  columns that broadcast against ``(1, Rt)`` ray rows.
+- Per-child "any ray overlaps" reduces to ONE scalar bitmask via a
+  lane-reduction + power-of-two dot, so the 8-way descend decision is 8
+  scalar bit tests, not 8 vector reductions.
+- Children are pre-sorted along the parent's widest axis; the kernel
+  processes leaf children near-first (the running closest-t shrinks before
+  the far leaves are tested) and pushes internal children far-first so the
+  LIFO stack pops near-first.  "Near" flips per tile from the tile's
+  aggregate direction sign — one scalar select.
+
+This is the TPU-native replacement for the traversal scheduler inside
+OpenRL's closed runtime (``3rdParty/OpenRL/rl.h:484`` ``rlRenderFrame``);
+the reference never sees this layer (its BVH lives behind the OpenRL
+binary), so everything here is original design.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import struct
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..vec import Vec3
+from .bvh import BVHTopology, build_topology
+from .intersect import WoopAccel
+from .intersect_pallas import (
+    MISS_T,
+    _pack_rays,
+    _pair_hits,
+    _row_spec,
+    _rays_spec,
+    _tile_inv_dir,
+)
+
+ARITY = 8
+RAY_TILE = 512
+# Wide-tree depth is ~1/3 of the binary depth; each visit pushes <= 7.
+STACK_DEPTH = 256
+
+_BIG = np.float32(3.0e38)
+
+
+@struct.dataclass
+class WideBVH:
+    """Device-side arity-8 BVH (a pytree).
+
+    ``wbox``: (Nw, 8, 8) f32 — per node, 8 children on sublanes; lanes
+    0..5 hold [minx, miny, minz, maxx, maxy, maxz] (6..7 pad).  Empty child
+    slots hold an inverted box (min=+BIG, max=-BIG): they fail every slab
+    test.
+    ``wchild``: (Nw * 8,) i32 child codes — ``>= 0``: wide-node index;
+    ``-1``: empty; ``<= -2``: leaf, chunk id = ``-2 - code``.
+    ``waxis``: (Nw,) i32 — the axis children are sorted along (ascending).
+    ``w``: (C, 4, 3*Tc) f32 chunk-packed Woop rows (``intersect_pallas``
+    pair-math layout).  ``slot_tri``: (C * Tc,) i32 chunk slot -> original
+    triangle id (-1 padding).
+    """
+
+    wbox: jnp.ndarray
+    wchild: jnp.ndarray
+    waxis: jnp.ndarray
+    w: jnp.ndarray
+    slot_tri: jnp.ndarray
+    leaf_size: int = struct.field(pytree_node=False)
+    num_triangles: int = struct.field(pytree_node=False)
+
+    @property
+    def num_nodes(self) -> int:
+        return self.wbox.shape[0]
+
+    @property
+    def num_chunks(self) -> int:
+        return self.w.shape[0]
+
+
+def collapse_topology(topo: BVHTopology, arity: int = ARITY):
+    """Collapse a flat binary topology into arity-N nodes (host, numpy).
+
+    Returns (wbox (Nw, 8, 8), wchild (Nw*8,), waxis (Nw,)) numpy arrays.
+    Greedy collapse: starting from a binary subtree root, repeatedly expand
+    the largest-surface-area internal slot until ``arity`` slots (or all
+    leaves) — the standard BVH8 construction, by surface area so big boxes
+    (which overlap the most rays) get split finest.
+    """
+    nbox, lc, skip = topo.nbox, topo.leaf_chunk, topo.skip
+
+    def area(s: int) -> float:
+        b = nbox[s]
+        d = np.maximum(b[3:] - b[:3], 0.0)
+        return float(d[0] * d[1] + d[1] * d[2] + d[2] * d[0])
+
+    wbox: list[np.ndarray] = []
+    wchild: list[np.ndarray] = []
+    waxis: list[int] = []
+
+    # Iterative DFS: each work item is (binary root, wide node id to fill).
+    wbox.append(None)  # type: ignore[arg-type]
+    wchild.append(None)  # type: ignore[arg-type]
+    waxis.append(0)
+    work = [(0, 0)]
+    while work:
+        root, my = work.pop()
+        slots = [root]
+        while len(slots) < arity:
+            cand = [s for s in slots if lc[s] < 0]
+            if not cand:
+                break
+            s = max(cand, key=area)
+            left = s + 1
+            right = skip[left]
+            slots.remove(s)
+            slots += [int(left), int(right)]
+
+        b = nbox[root]
+        ext = b[3:] - b[:3]
+        axis = int(np.argmax(ext))
+        cent = np.array(
+            [0.5 * (nbox[s][axis] + nbox[s][3 + axis]) for s in slots]
+        )
+        slots = [slots[o] for o in np.argsort(cent, kind="stable")]
+
+        boxes = np.empty((arity, 8), np.float32)
+        boxes[:, 0:3] = _BIG
+        boxes[:, 3:6] = -_BIG
+        boxes[:, 6:8] = 0.0
+        codes = np.full((arity,), -1, np.int32)
+        for k, s in enumerate(slots):
+            boxes[k, 0:6] = nbox[s]
+            if lc[s] >= 0:
+                codes[k] = -2 - lc[s]
+            else:
+                child_id = len(wbox)
+                wbox.append(None)  # type: ignore[arg-type]
+                wchild.append(None)  # type: ignore[arg-type]
+                waxis.append(0)
+                work.append((s, child_id))
+                codes[k] = child_id
+        wbox[my] = boxes
+        wchild[my] = codes
+        waxis[my] = axis
+
+    return (
+        np.stack(wbox, axis=0),
+        np.concatenate(wchild),
+        np.asarray(waxis, np.int32),
+    )
+
+
+def build_wide_bvh(
+    accel: WoopAccel,
+    leaf_size: int = 32,
+    include: np.ndarray | None = None,
+) -> WideBVH:
+    """Binned-SAH binary build + arity-8 collapse + Woop chunk packing.
+
+    Must run OUTSIDE jit (needs concrete boxes).  ``include`` filters
+    triangles (the occluder-only accel, ``Mesh.cpp:95-100``).
+    """
+    topo = build_topology(
+        np.asarray(accel.tri_min),
+        np.asarray(accel.tri_max),
+        leaf_size=leaf_size,
+        include=include,
+    )
+    wbox, wchild, waxis = collapse_topology(topo)
+
+    # Chunk-pack the Woop rows (same layout as bvh.pack_bvh, host-side).
+    tc = topo.leaf_size
+    c = topo.num_chunks
+    w_host = np.asarray(accel.w)
+    valid = (topo.slot_tri >= 0).astype(np.float32)
+    safe = np.maximum(topo.slot_tri, 0)
+    w = np.take(w_host, safe, axis=1) * valid[None, :]
+    w = w.reshape(12, c, tc).transpose(1, 0, 2)
+    w = w.reshape(c, 3, 4, tc).transpose(0, 2, 1, 3).reshape(c, 4, 3 * tc)
+
+    return WideBVH(
+        wbox=jnp.asarray(wbox),
+        wchild=jnp.asarray(wchild),
+        waxis=jnp.asarray(waxis),
+        w=jnp.asarray(np.ascontiguousarray(w)),
+        slot_tri=jnp.asarray(topo.slot_tri),
+        leaf_size=tc,
+        num_triangles=accel.num_triangles,
+    )
+
+
+def _children_slab(boxes, rays, invx, invy, invz, t_min, t_far):
+    """Slab test of the ray tile against all 8 child boxes at once.
+
+    ``boxes``: (8, 8) — children on sublanes, coords on lanes.  Returns an
+    (8, Rt) overlap mask.  ``t_far`` broadcasts from (1, Rt).
+    """
+    ox, oy, oz = rays[0:1, :], rays[1:2, :], rays[2:3, :]
+    tx0 = (boxes[:, 0:1] - ox) * invx  # (8, Rt)
+    ty0 = (boxes[:, 1:2] - oy) * invy
+    tz0 = (boxes[:, 2:3] - oz) * invz
+    tx1 = (boxes[:, 3:4] - ox) * invx
+    ty1 = (boxes[:, 4:5] - oy) * invy
+    tz1 = (boxes[:, 5:6] - oz) * invz
+    tn = jnp.maximum(
+        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+        jnp.maximum(jnp.minimum(tz0, tz1), t_min),
+    )
+    tf = jnp.minimum(
+        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+        jnp.minimum(jnp.maximum(tz0, tz1), t_far),
+    )
+    return tn <= tf
+
+
+_BITCOL = None  # built per-trace below (needs 2D iota)
+
+
+def _overlap_bits(ov):
+    """(8, Rt) overlap mask -> ONE int32 scalar whose bit c = any ray
+    overlaps child c."""
+    anyc = jnp.any(ov, axis=1, keepdims=True)  # (8, 1)
+    pow2 = jnp.left_shift(
+        jnp.int32(1), jax.lax.broadcasted_iota(jnp.int32, (ARITY, 1), 0)
+    )
+    return jnp.sum(jnp.where(anyc, pow2, 0))
+
+
+def _tile_axis_signs(rays):
+    """Aggregate tile direction sign per axis (3 scalar bools: True = the
+    tile predominantly travels +axis, so the low-coordinate child is near)."""
+    sx = jnp.sum(rays[4:5, :]) >= 0.0
+    sy = jnp.sum(rays[5:6, :]) >= 0.0
+    sz = jnp.sum(rays[6:7, :]) >= 0.0
+    return sx, sy, sz
+
+
+def _closest_kernel(
+    tc, t_min, precision,
+    rays_ref, wbox_ref, wchild_ref, waxis_ref, w_ref,
+    t_ref, id_ref, stack_ref, best_ref, bid_ref,
+):
+    rays = rays_ref[...]  # (8, Rt)
+    rt = rays.shape[1]
+    invx, invy, invz = _tile_inv_dir(rays)
+    sx, sy, sz = _tile_axis_signs(rays)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+
+    best_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
+    bid_ref[...] = jnp.full((1, rt), -1, jnp.int32)
+
+    def cond(carry):
+        return carry[0] >= 0
+
+    def body(carry):
+        i, sp = carry
+        boxes = wbox_ref[i]  # (8, 8)
+        best_t = best_ref[...]
+        ov = _children_slab(boxes, rays, invx, invy, invz, t_min, best_t)
+        bits = _overlap_bits(ov)
+        axis = waxis_ref[i]
+        sign = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+        # Pass 1 (near -> far): leaf children.  Processing near leaves first
+        # shrinks best_t before far leaves are tested, so their slab windows
+        # (baked into _pair_hits' t bound) self-prune.
+        for k in range(ARITY):
+            c = jnp.where(sign, k, ARITY - 1 - k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code <= -2)
+
+            @pl.when(live)
+            def _():
+                chunk = -2 - code
+                bt = best_ref[...]
+                tm = _pair_hits(rays, w_ref[chunk], tc, t_min, bt, precision)
+                col_min = jnp.min(tm, axis=0, keepdims=True)  # (1, Rt)
+                tri = jnp.min(
+                    jnp.where(tm <= col_min, sub_ids, jnp.int32(2**30)),
+                    axis=0,
+                    keepdims=True,
+                )
+                improved = col_min < bt
+                bid_ref[...] = jnp.where(
+                    improved, chunk * tc + tri, bid_ref[...]
+                )
+                best_ref[...] = jnp.where(improved, col_min, bt)
+
+        # Pass 2 (far -> near): push internal children; LIFO pops near-first.
+        push = jnp.int32(0)
+        for k in range(ARITY):
+            c = jnp.where(sign, ARITY - 1 - k, k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code >= 0)
+
+            @pl.when(live)
+            def _():
+                stack_ref[sp + push] = code
+
+            push = push + jnp.where(live, 1, 0)
+
+        sp = sp + push
+        has = sp > 0
+        top = stack_ref[jnp.maximum(sp - 1, 0)]
+        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    t_ref[...] = best_ref[...]
+    id_ref[...] = bid_ref[...]
+
+
+def _any_kernel(
+    tc, t_min, precision,
+    rays_ref, tmax_ref, wbox_ref, wchild_ref, waxis_ref, w_ref,
+    hit_ref, stack_ref, mint_ref,
+):
+    rays = rays_ref[...]
+    t_max = tmax_ref[...]  # (1, Rt)
+    rt = rays.shape[1]
+    invx, invy, invz = _tile_inv_dir(rays)
+
+    mint_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
+
+    def cond(carry):
+        i, sp, alive = carry
+        return (i >= 0) & alive
+
+    def body(carry):
+        i, sp, _ = carry
+        boxes = wbox_ref[i]
+        # Blocked lanes get an empty interval: they keep nothing live.
+        t_far = jnp.where(mint_ref[...] < MISS_T, t_min - 1.0, t_max)
+        ov = _children_slab(boxes, rays, invx, invy, invz, t_min, t_far)
+        bits = _overlap_bits(ov)
+
+        push = jnp.int32(0)
+        for c in range(ARITY):  # occlusion: order irrelevant
+            code = wchild_ref[ARITY * i + c]
+            hit_live = (((bits >> c) & 1) > 0)
+            leaf_live = hit_live & (code <= -2)
+            int_live = hit_live & (code >= 0)
+
+            @pl.when(leaf_live)
+            def _():
+                chunk = -2 - code
+                tm = _pair_hits(rays, w_ref[chunk], tc, t_min, t_max, precision)
+                mint_ref[...] = jnp.minimum(
+                    mint_ref[...], jnp.min(tm, axis=0, keepdims=True)
+                )
+
+            @pl.when(int_live)
+            def _():
+                stack_ref[sp + push] = code
+
+            push = push + jnp.where(int_live, 1, 0)
+
+        sp = sp + push
+        has = sp > 0
+        top = stack_ref[jnp.maximum(sp - 1, 0)]
+        # Early exit as soon as every lane is blocked.
+        alive = jnp.any(mint_ref[...] >= MISS_T)
+        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0), alive
+
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(True))
+    )
+    hit_ref[...] = (mint_ref[...] < MISS_T).astype(jnp.int32)
+
+
+def _smem_spec():
+    return pl.BlockSpec(memory_space=pltpu.SMEM)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "t_min", "precision", "interpret")
+)
+def intersect_closest_wide(
+    bvh: WideBVH,
+    origins: Vec3,
+    directions: Vec3,
+    t_min: float = 1e-4,
+    ray_tile: int = RAY_TILE,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+):
+    """Closest-hit wide-BVH traversal.  Returns (t, tri_id, hit) with
+    original triangle ids (padding resolved through ``bvh.slot_tri``)."""
+    tc = bvh.leaf_size
+    rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
+
+    kernel = functools.partial(_closest_kernel, tc, t_min, precision)
+    best_t, best_slot = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _rays_spec(ray_tile),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wbox
+            _smem_spec(),  # wchild
+            _smem_spec(),  # waxis
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # chunked w
+        ],
+        out_specs=(_row_spec(ray_tile), _row_spec(ray_tile)),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, ray_tile), jnp.float32),
+            pltpu.VMEM((1, ray_tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w)
+
+    best_t = best_t[0, :r]
+    best_slot = best_slot[0, :r]
+    hit = best_slot >= 0
+    tri = jnp.take(bvh.slot_tri, jnp.maximum(best_slot, 0))
+    tri = jnp.where(hit, tri, -1)
+    return jnp.where(hit, best_t, MISS_T), tri, hit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "t_min", "precision", "interpret")
+)
+def intersect_any_wide(
+    bvh: WideBVH,
+    origins: Vec3,
+    directions: Vec3,
+    t_min: float = 1e-4,
+    t_max=3.0e37,
+    ray_tile: int = RAY_TILE,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+):
+    """Any-hit (occlusion) wide-BVH traversal; returns (R,) blocked mask."""
+    tc = bvh.leaf_size
+    rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
+    # Occlusion is piecewise-constant; visibility gradients are detached.
+    t_max = jax.lax.stop_gradient(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    )
+    t_max = jnp.pad(t_max, (0, n_tiles * ray_tile - r))[None, :]
+
+    kernel = functools.partial(_any_kernel, tc, t_min, precision)
+    blocked = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _rays_spec(ray_tile),
+            _row_spec(ray_tile),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _smem_spec(),
+            _smem_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=_row_spec(ray_tile),
+        out_shape=jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, ray_tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, t_max, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w)
+    return blocked[0, :r] > 0

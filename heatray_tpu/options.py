@@ -71,8 +71,9 @@ class RenderOptions:
     # (16384 x 512 x 3 floats ~= 100 MB per operand on TPU.)
     tri_chunk: int = 512
     ray_block: int = 16384
-    # Intersection backend: "auto" (BVH traversal kernels on TPU, XLA
-    # elsewhere), "bvh", "pallas" (flat-chunk kernels), or "xla".
+    # Intersection backend: "auto" (wide-BVH traversal kernels on TPU, XLA
+    # elsewhere), "wide" (arity-8 BVH), "bvh" (binary skip-pointer),
+    # "pallas" (flat-chunk kernels), or "xla".
     intersect_backend: str = "auto"
     # Pallas kernel tiling (rays per grid step, triangles per chunk).
     pallas_ray_tile: int = 1024
@@ -80,6 +81,24 @@ class RenderOptions:
     # Triangles per BVH leaf (one fixed-size chunk per leaf; the Pallas
     # traversal hit-tests a whole leaf against a ray tile at once).
     bvh_leaf_size: int = 64
+    # Triangles per wide-BVH (arity-8) leaf: smaller leaves cull finer —
+    # the 8-wide slab test amortizes the extra nodes.
+    wide_leaf_size: int = 32
+    # Rays per grid step for the wide-BVH kernels (smaller tiles share
+    # traversal decisions across fewer rays -> tighter culling; 256 won the
+    # on-chip sweep for sorted bounce wavefronts, see tpu_wide_check.py).
+    wide_ray_tile: int = 256
+    # Reorder the bounce wavefront each depth by (direction octant, origin
+    # Morton): traversal tiles stay coherent and dead lanes cluster into
+    # tiles that exit at the root (the wavefront-compaction analog).
+    # "auto" = on for the TPU Pallas backends, off elsewhere (the result is
+    # bit-identical either way — sorting is an exact permutation — but the
+    # argsort is pure overhead for the XLA/CPU path).
+    sort_bounces: bool | str = "auto"
+    # Rematerialize each bounce in the backward pass (jax.checkpoint): the
+    # QMC draws and shade intermediates are cheap to recompute and their
+    # per-depth residuals otherwise OOM a 16 GB chip at 1080p.
+    remat_bounces: bool = True
     # Trilinear mip sampling with ray-cone LOD (the reference's default
     # RL_LINEAR_MIPMAP_LINEAR samplers, ``Texture.h:51,86``); off = bilinear
     # level-0 only.

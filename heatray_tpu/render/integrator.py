@@ -38,6 +38,12 @@ from ..ops.intersect_pallas import (
     pack_for_pallas,
 )
 from ..ops.traverse_pallas import intersect_any_bvh, intersect_closest_bvh
+from ..ops.wide_bvh import (
+    WideBVH,
+    build_wide_bvh,
+    intersect_any_wide,
+    intersect_closest_wide,
+)
 from ..sampling.tables import (
     SampleTables,
     build_tables,
@@ -75,6 +81,8 @@ class AccelPack:
     bvh_occl: BVH | None
     packed: WoopPallas | None
     packed_occl: WoopPallas | None
+    wide: WideBVH | None = None
+    wide_occl: WideBVH | None = None
     backend: str = struct.field(pytree_node=False, default="xla")
 
 
@@ -95,10 +103,16 @@ def _select_backend(options: RenderOptions, num_triangles: int) -> str:
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not on_tpu:
         return "xla"
-    # Both Pallas backends keep the whole chunked Woop table in VMEM; the
+    # The Pallas backends keep the whole chunked Woop table in VMEM; the
     # BVH pads leaves, so budget on the padded count.
     if num_triangles <= 250_000:
-        return "bvh"
+        return "wide"
+    from ..utils.log import get_logger
+
+    get_logger("integrator").warning(
+        "scene has %d triangles > 250k VMEM budget: falling back to the "
+        "(slow) XLA brute-force intersector", num_triangles,
+    )
     return "xla"
 
 
@@ -119,22 +133,36 @@ def build_accel(
         else accel
     )
     backend = _select_backend(options, accel.num_triangles)
-    bvh = bvh_occl = packed = packed_occl = None
-    if backend == "bvh":
+    bvh = bvh_occl = packed = packed_occl = wide = wide_occl = None
+
+    def _occl_include():
         import numpy as np
 
+        return (
+            np.asarray(
+                jnp.take(
+                    scene.materials.alpha_mask, scene.geometry.material_ids
+                )
+            )
+            == 0
+        )
+
+    if backend == "wide":
+        wide = build_wide_bvh(accel, leaf_size=options.wide_leaf_size)
+        wide_occl = (
+            build_wide_bvh(
+                accel, leaf_size=options.wide_leaf_size,
+                include=_occl_include(),
+            )
+            if scene.has_alpha_mask
+            else wide
+        )
+    elif backend == "bvh":
         bvh = build_bvh(accel, leaf_size=options.bvh_leaf_size)
         if scene.has_alpha_mask:
-            include = (
-                np.asarray(
-                    jnp.take(
-                        scene.materials.alpha_mask, scene.geometry.material_ids
-                    )
-                )
-                == 0
-            )
             bvh_occl = build_bvh(
-                accel, leaf_size=options.bvh_leaf_size, include=include
+                accel, leaf_size=options.bvh_leaf_size,
+                include=_occl_include(),
             )
         else:
             bvh_occl = bvh
@@ -156,6 +184,8 @@ def build_accel(
         bvh_occl=bvh_occl,
         packed=packed,
         packed_occl=packed_occl,
+        wide=wide,
+        wide_occl=wide_occl,
         backend=backend,
     )
 
@@ -260,8 +290,8 @@ def _park_dead(org: Vec3, direction: Vec3, active):
 def _use_pallas(options: RenderOptions, num_triangles: int) -> bool:
     """Backend select for the in-graph (no prebuilt pack) path: fused Pallas
     chunk kernels on TPU-like platforms, XLA tiled path elsewhere.  The BVH
-    backend is only reachable through ``build_accel`` (host-side build)."""
-    if options.intersect_backend in ("pallas", "bvh"):
+    backends are only reachable through ``build_accel`` (host-side build)."""
+    if options.intersect_backend in ("pallas", "bvh", "wide"):
         return True
     if options.intersect_backend == "xla":
         return False
@@ -310,6 +340,27 @@ def _shape_wrap(fn_flat):
         return out.reshape(shp)
 
     return fn
+
+
+def _make_wide_intersectors(pack: AccelPack, options: RenderOptions):
+    """(closest, any) over the prebuilt arity-8 BVH traversal kernels."""
+    rt = options.wide_ray_tile
+
+    def closest(org, direction, t_min):
+        t, tid, hit = intersect_closest_wide(
+            pack.wide, org, direction, t_min=t_min, ray_tile=rt
+        )
+        n = gather_geo_normal(pack.accel, jnp.maximum(tid, 0))
+        front = direction.dot(n) < 0.0
+        return t, tid, front, hit
+
+    def any_hit(org, direction, t_min, t_max):
+        return intersect_any_wide(
+            pack.wide_occl, org, direction, t_min=t_min, t_max=t_max,
+            ray_tile=rt,
+        )
+
+    return _shape_wrap(closest), _shape_wrap(any_hit)
 
 
 def _make_bvh_intersectors(pack: AccelPack, options: RenderOptions):
@@ -397,6 +448,41 @@ def _make_intersectors(accel, occl_accel, options: RenderOptions):
     return _shape_wrap(closest), _shape_wrap(any_hit)
 
 
+def _part1by2(x):
+    """Spread the low 6 bits of ``x`` so they interleave 3 ways (Morton)."""
+    x = x & 0x3F
+    x = (x | (x << 8)) & 0x0300F00F
+    x = (x | (x << 4)) & 0x030C30C3
+    x = (x | (x << 2)) & 0x09249249
+    return x
+
+
+def _wavefront_sort_key(org: Vec3, direction: Vec3, active, lo, hi):
+    """Coherence key for bounce-wavefront reordering: 3-bit direction
+    octant (major) + 6-bit-per-axis Morton code of the origin within the
+    scene AABB (minor).  Octant-major keeps each traversal tile's aggregate
+    direction signs unanimous (the wide kernel's near-order select); Morton
+    clusters tiles onto the same subtrees.  Inactive lanes sort last, so
+    dead tiles fail the root test and exit after one node."""
+
+    def q(c, l, h):
+        s = (c - l) / jnp.maximum(h - l, 1e-6) * 64.0
+        return jnp.clip(s.astype(jnp.int32), 0, 63)
+
+    morton = (
+        _part1by2(q(org.x, lo[0], hi[0]))
+        | (_part1by2(q(org.y, lo[1], hi[1])) << 1)
+        | (_part1by2(q(org.z, lo[2], hi[2])) << 2)
+    )
+    octant = (
+        (direction.x >= 0).astype(jnp.int32)
+        | ((direction.y >= 0).astype(jnp.int32) << 1)
+        | ((direction.z >= 0).astype(jnp.int32) << 2)
+    )
+    key = (octant << 18) | morton
+    return jnp.where(active, key, jnp.int32(1) << 28)
+
+
 def _accum_update(contrib: Vec3, h: int, w: int, alpha=None) -> jnp.ndarray:
     """Flat per-pixel contribution -> planar (4, H, W) update (channel 3 =
     passes per pixel; 1 everywhere unless ``alpha`` gives a per-pixel
@@ -451,7 +537,9 @@ def render_pass(
             if pack.shade_table is not None
             else build_shade_table(scene, pack.accel)
         )
-        if pack.backend == "bvh":
+        if pack.backend == "wide":
+            closest_fn, any_fn = _make_wide_intersectors(pack, options)
+        elif pack.backend == "bvh":
             closest_fn, any_fn = _make_bvh_intersectors(pack, options)
         elif pack.backend == "pallas":
             closest_fn, any_fn = _make_packed_intersectors(pack, options)
@@ -528,8 +616,42 @@ def render_pass(
     use_cone = options.use_mipmaps and scene.has_textures
     pixel_cone = 2.0 * camera.fov_tan / jnp.float32(h)
 
-    def bounce(carry, depth):
-        org, direction, weight, env_on_miss, active, contrib, path_len, ray_count = carry
+    # Scene bounds for the wavefront sort key (piecewise-constant: detached).
+    if options.sort_bounces == "auto":
+        backend = pack.backend if pack is not None else (
+            "wide" if _use_pallas(options, scene.geometry.num_triangles)
+            else "xla"
+        )
+        sort_mode = backend in ("wide", "bvh", "pallas")
+    else:
+        sort_mode = bool(options.sort_bounces)
+    sort_on = sort_mode and options.max_ray_depth > 1
+    if sort_on:
+        src = pack.accel if pack is not None else accel
+        lo = jax.lax.stop_gradient(jnp.min(src.tri_min, axis=1))
+        hi = jax.lax.stop_gradient(jnp.max(src.tri_max, axis=1))
+
+    def bounce(carry, depth, do_sort=False):
+        (org, direction, weight, env_on_miss, active, contrib, path_len,
+         seq_id, seq_off, pix, ray_count) = carry
+
+        if do_sort:
+            # Reorder the whole wavefront for traversal coherence (the
+            # permutation is undone at accumulation time via ``pix``).
+            with jax.named_scope("sort_wavefront"):
+                key = _wavefront_sort_key(org, direction, active, lo, hi)
+                order = jnp.argsort(key.reshape(-1))
+                perm = lambda a: jnp.take(a.reshape(-1), order).reshape(shape2)
+                org = org.map(perm)
+                direction = direction.map(perm)
+                weight = weight.map(perm)
+                contrib = contrib.map(perm)
+                env_on_miss = perm(env_on_miss)
+                active = perm(active)
+                path_len = perm(path_len)
+                seq_id = perm(seq_id)
+                seq_off = perm(seq_off)
+                pix = perm(pix)
 
         # Stage names surface in xprof traces (--trace / jax.profiler),
         # the per-stage breakdown SURVEY section 5 asks for.
@@ -615,18 +737,47 @@ def render_pass(
             res.ext_active,
             contrib,
             path_len,
+            seq_id,
+            seq_off,
+            pix,
             ray_count,
         )
         return new_carry, None
 
-    depths = jnp.arange(1, options.max_ray_depth + 1, dtype=jnp.int32)
+    pix0 = jnp.arange(r, dtype=jnp.int32).reshape(shape2)
     init = (
         org, direction, weight, env_on_miss, active, contrib,
-        jnp.zeros(shape2, jnp.float32), jnp.int32(0),
+        jnp.zeros(shape2, jnp.float32), seq_id, seq_off, pix0, jnp.int32(0),
     )
-    (_, _, _, _, _, contrib, _, ray_count), _ = jax.lax.scan(bounce, init, depths)
+    # Remat (``jax.checkpoint``): save only the inter-bounce carry; the QMC
+    # draws and shade intermediates are recomputed in the backward sweep —
+    # without this, per-depth residuals OOM a 16 GB chip at 1080p.
+    maybe_ckpt = (
+        (lambda f: jax.checkpoint(f, prevent_cse=False))
+        if options.remat_bounces
+        else (lambda f: f)
+    )
+    # First bounce unrolled, unsorted: primary rays arrive pixel-ordered
+    # (already coherent); later bounces re-sort each depth.
+    carry, _ = maybe_ckpt(functools.partial(bounce, do_sort=False))(
+        init, jnp.int32(1)
+    )
+    if options.max_ray_depth > 1:
+        depths = jnp.arange(2, options.max_ray_depth + 1, dtype=jnp.int32)
+        body = maybe_ckpt(functools.partial(bounce, do_sort=sort_on))
+        carry, _ = jax.lax.scan(body, carry, depths)
+    contrib, pix, ray_count = carry[5], carry[9], carry[10]
 
     with jax.named_scope("accumulate"):
+        if sort_on:
+            # Undo the wavefront permutations: scatter lane contributions
+            # back to their pixels (``pix`` is a permutation, so this is
+            # exact — no collisions).
+            flat_pix = pix.reshape(-1)
+            unperm = lambda c: (
+                jnp.zeros((r,), c.dtype).at[flat_pix].set(c.reshape(-1))
+            )
+            contrib = contrib.map(unperm)
         update = _accum_update(contrib, h, w, alpha=alpha)
     if with_stats:
         return accum + update, {"rays": ray_count}
@@ -642,13 +793,16 @@ def render(
     max_channel_value: float = 3.14159265,
     accum: jnp.ndarray | None = None,
     start_pass: int = 0,
+    pass_callback=None,
 ):
     """Progressive render: ``num_passes`` passes (host loop over the jitted
     pass function, the analog of ``PassGenerator``'s offline mode).
 
     Returns (accum, ctx); ``accum`` is planar (4, H, W) — ``resolve(accum)``
     is the linear (H, W, 3) image.  Pass ``accum``/``start_pass`` to resume
-    (checkpoint/restart).
+    (checkpoint/restart).  ``pass_callback(i, accum)`` fires after every
+    pass — the progressive-display hook (the analog of the reference's
+    ``m_passCompleteCallback``, ``HeatrayRenderer.cpp:388-403``).
     """
     if ctx is None:
         ctx = make_context(options, scene)
@@ -670,6 +824,8 @@ def render(
             sample_index=i, max_channel_value=max_channel_value
         )
         accum = render_pass(scene, camera, ctx, options, frame, accum)
+        if pass_callback is not None:
+            pass_callback(i, accum)
     return accum, ctx
 
 

@@ -36,6 +36,9 @@ class Geometry:
     colors: jnp.ndarray  # (3, V) f32 vertex colors
     indices: jnp.ndarray  # (3, T) i32 (rows = corner 0/1/2)
     material_ids: jnp.ndarray  # (T,) i32 per-triangle material index
+    # (T,) i32 source-mesh index per triangle: the handle for scene edits
+    # (``scene.edit.remove_mesh`` — the ``Scene::removeMesh`` analog).
+    mesh_ids: jnp.ndarray
 
     @property
     def num_triangles(self) -> int:
@@ -153,11 +156,14 @@ def merge_meshes(meshes: List[MeshData], material_ids: List[int]) -> Geometry:
 
     Triangles are re-ordered along a Morton curve (see ``_morton_order``)."""
     assert len(meshes) == len(material_ids)
-    pos, nrm, uv, tan, bit, col, idx, mat = [], [], [], [], [], [], [], []
+    pos, nrm, uv, tan, bit, col, idx, mat, mesh_of = (
+        [], [], [], [], [], [], [], [], []
+    )
     offset = 0
-    for mesh, mid in zip(meshes, material_ids):
+    for mesh_index, (mesh, mid) in enumerate(zip(meshes, material_ids)):
         v = mesh.positions.shape[0]
         t = mesh.indices.shape[0]
+        mesh_of.append(np.full((t,), mesh_index, dtype=np.int32))
         pos.append(mesh.positions)
         nrm.append(mesh.normals)
         uv.append(
@@ -186,9 +192,11 @@ def merge_meshes(meshes: List[MeshData], material_ids: List[int]) -> Geometry:
     all_pos = np.concatenate(pos)
     all_idx = np.concatenate(idx)
     all_mat = np.concatenate(mat)
+    all_mesh = np.concatenate(mesh_of)
     order = _morton_order(all_pos, all_idx)
     all_idx = all_idx[order]
     all_mat = all_mat[order]
+    all_mesh = all_mesh[order]
     return Geometry(
         positions=jnp.asarray(all_pos.T),
         normals=jnp.asarray(np.concatenate(nrm).T),
@@ -198,6 +206,7 @@ def merge_meshes(meshes: List[MeshData], material_ids: List[int]) -> Geometry:
         colors=jnp.asarray(np.concatenate(col).T),
         indices=jnp.asarray(all_idx.T),
         material_ids=jnp.asarray(all_mat),
+        mesh_ids=jnp.asarray(all_mesh),
     )
 
 

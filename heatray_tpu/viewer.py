@@ -1,0 +1,167 @@
+"""Minimal progressive viewer: live HTTP preview of a converging render.
+
+The reference's defining UX is watching the accumulation converge in a
+window (``HeatrayRenderer::render`` double-buffers raytraced pixels into a
+GL texture every frame, ``HeatrayRenderer.cpp:319-403``).  Headless on a
+TPU host, the equivalent is a tiny in-process HTTP server: it serves an
+auto-refreshing page showing the latest resolved (and post-processed)
+frame plus pass/timing status.  Zero dependencies beyond the stdlib; the
+render loop stays in charge — ``ProgressiveViewer.update`` is called from
+the per-pass callback (the ``m_passCompleteCallback`` analog).
+
+Usage:
+    viewer = ProgressiveViewer(port=8000)
+    viewer.start()
+    render(..., pass_callback=viewer.make_callback(options, post))
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import struct
+import threading
+import time
+import zlib
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+
+import numpy as np
+
+_PAGE = """<!doctype html>
+<html><head><title>heatray_tpu — progressive render</title><style>
+body { background: #181818; color: #ddd; font-family: monospace;
+       display: flex; flex-direction: column; align-items: center; }
+img { image-rendering: pixelated; max-width: 95vw; max-height: 85vh;
+      border: 1px solid #444; margin-top: 8px; }
+#status { margin-top: 6px; }
+</style></head><body>
+<div id="status">waiting for first pass…</div>
+<img id="frame" src="/frame.png">
+<script>
+async function tick() {
+  try {
+    const s = await (await fetch('/status.json')).json();
+    document.getElementById('status').textContent =
+      `pass ${s.passes_done}/${s.total_passes}  ` +
+      `${s.width}x${s.height}  ${s.pass_ms.toFixed(0)} ms/pass`;
+    const img = document.getElementById('frame');
+    img.src = '/frame.png?t=' + s.version;
+  } catch (e) {}
+  setTimeout(tick, 500);
+}
+tick();
+</script></body></html>"""
+
+
+def encode_png(rgb8: np.ndarray) -> bytes:
+    """Encode an (H, W, 3) uint8 array as PNG (stdlib zlib only — keeps the
+    viewer dependency-free; speed is irrelevant next to a render pass)."""
+    h, w, _ = rgb8.shape
+    raw = b"".join(
+        b"\x00" + rgb8[y].tobytes() for y in range(h)
+    )  # filter 0 per scanline
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(raw, 6))
+        + chunk(b"IEND", b"")
+    )
+
+
+class ProgressiveViewer:
+    """Serves the latest frame + status; updated from the render loop."""
+
+    def __init__(self, port: int = 8000, host: str = "0.0.0.0"):
+        self.port = port
+        self.host = host
+        self._lock = threading.Lock()
+        self._png: bytes = encode_png(np.zeros((2, 2, 3), np.uint8))
+        self._status = {
+            "passes_done": 0, "total_passes": 0, "width": 0, "height": 0,
+            "pass_ms": 0.0, "version": 0,
+        }
+        self._last_t = time.time()
+        self._server: ThreadingHTTPServer | None = None
+
+    def update(self, rgb8: np.ndarray, passes_done: int, total_passes: int):
+        now = time.time()
+        png = encode_png(np.ascontiguousarray(rgb8))
+        with self._lock:
+            self._png = png
+            self._status = {
+                "passes_done": int(passes_done),
+                "total_passes": int(total_passes),
+                "width": int(rgb8.shape[1]),
+                "height": int(rgb8.shape[0]),
+                "pass_ms": (now - self._last_t) * 1000.0,
+                "version": self._status["version"] + 1,
+            }
+        self._last_t = now
+
+    def make_callback(self, options, post_params=None, every: int = 1):
+        """A ``render(..., pass_callback=...)`` hook that resolves + posts
+        the accumulation every ``every`` passes and publishes it."""
+        from .post import apply_post_pipeline
+        from .render import resolve
+
+        total = options.max_render_passes
+
+        def cb(i, accum):
+            if (i + 1) % every and (i + 1) != total:
+                return
+            if post_params is not None:
+                img = np.asarray(apply_post_pipeline(accum, post_params))
+            else:
+                img = np.clip(np.asarray(resolve(accum)), 0.0, 1.0) ** (1 / 2.2)
+            # Row 0 is the image bottom (OpenRL frame convention); flip.
+            rgb8 = (img[::-1] * 255.0 + 0.5).astype(np.uint8)
+            self.update(rgb8, i + 1, total)
+
+        return cb
+
+    def start(self):
+        viewer = self
+
+        class Handler(BaseHTTPRequestHandler):
+            def log_message(self, *a):  # quiet
+                pass
+
+            def do_GET(self):
+                if self.path.startswith("/frame.png"):
+                    with viewer._lock:
+                        body = viewer._png
+                    ctype = "image/png"
+                elif self.path.startswith("/status.json"):
+                    with viewer._lock:
+                        body = json.dumps(viewer._status).encode()
+                    ctype = "application/json"
+                else:
+                    body = _PAGE.encode()
+                    ctype = "text/html"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(body)))
+                self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+        self._server = ThreadingHTTPServer((self.host, self.port), Handler)
+        self.port = self._server.server_address[1]  # resolve port 0
+        t = threading.Thread(target=self._server.serve_forever, daemon=True)
+        t.start()
+        return self
+
+    def stop(self):
+        if self._server is not None:
+            self._server.shutdown()
+            self._server = None

@@ -249,3 +249,30 @@ class TestDifferentiability:
             g = float(jax.grad(loss)(jnp.float32(r0)))
             assert np.isfinite(g), f"material {mat_id}: NaN/Inf grad"
             assert abs(g) > 0.0, f"material {mat_id}: zero grad"
+
+
+class TestWavefrontSorting:
+    def test_sorted_equals_unsorted(self):
+        """Bounce-wavefront sorting is an exact permutation: forcing it on
+        (as the TPU backends do) must reproduce the unsorted render."""
+        import dataclasses
+
+        from heatray_tpu.render import render, resolve
+        from heatray_tpu.scene.builtin import cornell_box
+
+        scene = cornell_box(light="both", with_spheres=True)
+        cam = orbit_camera(32, 32, distance=6.2, focal_length_mm=35.0)
+        base = RenderOptions(
+            width=32, height=32, max_render_passes=2, max_ray_depth=3
+        )
+        a_off, _ = render(
+            scene, cam, dataclasses.replace(base, sort_bounces=False),
+            num_passes=2,
+        )
+        a_on, _ = render(
+            scene, cam, dataclasses.replace(base, sort_bounces=True),
+            num_passes=2,
+        )
+        np.testing.assert_allclose(
+            np.asarray(a_off), np.asarray(a_on), rtol=1e-6, atol=1e-6
+        )

@@ -176,6 +176,18 @@ if mode in ("all", "shade"):
         return img.reshape(4, -1)[0] * 0.0
     chain_time("accum reshape", acc_step, jnp.zeros((R,)))
 
+    # wavefront sort overhead (argsort + permute the full carry: ~12 arrays)
+    def sort_step(c, key, o):
+        k2 = key + jnp.int32(jnp.sum(c * 0.0))
+        order = jnp.argsort(k2)
+        outs = [jnp.take(o.x, order), jnp.take(o.y, order), jnp.take(o.z, order)]
+        for _ in range(3):
+            outs += [jnp.take(o.x, order), jnp.take(o.y, order), jnp.take(o.z, order)]
+        return sum(outs) * 0.0 + c
+    key0 = jnp.where(hit, tid // 64, 1 << 30)
+    chain_time("sort: argsort + 12x take 2M", sort_step, jnp.zeros((R,)),
+               args=(key0, b_org))
+
 if mode == "sorted":
     # Strong coherence key: 6-bit Morton of the ray origin within the scene
     # AABB + 3-bit direction octant.  Compare traversal cost on the real
