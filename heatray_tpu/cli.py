@@ -141,6 +141,34 @@ def cmd_render(args) -> int:
             options, post, every=args.preview_every
         )
 
+    if args.edit:
+        if viewer is None:
+            print("--edit requires --preview", file=sys.stderr)
+            return 2
+        from heatray_tpu.interactive import InteractiveRenderer
+
+        dist, phi, theta = args.orbit
+        r = InteractiveRenderer(
+            scene, camera, options, post=post, viewer=viewer,
+            orbit=dict(
+                distance=dist, phi=phi, theta=theta,
+                focal_length=args.focal_length, fstop=args.fstop,
+                focus_distance=args.focus_distance,
+            ),
+            max_channel_value=args.max_channel,
+        )
+        viewer.set_scene_info(r.scene_info())
+        print("interactive edit loop: POST /edit on the preview port",
+              file=sys.stderr)
+        accum = r.run(publish_every=args.preview_every)
+        img = apply_post_pipeline(accum, r.post)
+        if args.out.endswith((".tiff", ".tif", ".npy", ".exr", ".hdr")):
+            save_hdr(args.out, np.asarray(resolve(accum)))
+        else:
+            save_ldr(args.out, np.asarray(img))
+        print(f"wrote {args.out}", file=sys.stderr)
+        return 0
+
     if args.trace:
         import jax
 
@@ -266,6 +294,12 @@ def main(argv=None) -> int:
                    help="update the preview every N passes")
     p.add_argument("--preview-hold", action="store_true",
                    help="keep serving the preview after the render finishes")
+    p.add_argument("--edit", action="store_true",
+                   help="interactive edit loop: accept material/light/camera "
+                        "edits over POST /edit on the preview server and "
+                        "reset accumulation on change (the headless analog "
+                        "of renderUI, HeatrayRenderer.cpp:690-946); serves "
+                        "until ctrl-C")
     p.set_defaults(fn=cmd_render)
 
     p = sub.add_parser(

@@ -383,6 +383,276 @@ def _smem_spec():
     return pl.BlockSpec(memory_space=pltpu.SMEM)
 
 
+# ---------------------------------------------------------------------------
+# HBM-streaming traversal: scenes past the ~250k-triangle VMEM budget
+# ---------------------------------------------------------------------------
+#
+# The node arrays (wbox/wchild/waxis) are small (~256 B + 36 B per wide node)
+# and stay VMEM/SMEM-resident even for multi-million-triangle scenes; only
+# the chunked Woop table ``w`` (96 B/triangle) outgrows VMEM.  The streaming
+# kernels leave ``w`` in HBM and DMA each visited leaf chunk into one of 8
+# VMEM slots.  All live leaf children of a node START their DMAs before the
+# first is WAITED on, so up to 8 transfers overlap; the node's slab tests for
+# the NEXT stack entry then overlap the tail.  Use a bigger leaf (128+) than
+# the VMEM kernels so each DMA moves >= 6 KB.  This replaces OpenRL's
+# retained-geometry generality (``rl.h`` rlDrawElements scenes of arbitrary
+# size, built behind ``rlRenderFrame``) on TPU terms.
+
+
+def _closest_stream_kernel(
+    tc, t_min, precision,
+    rays_ref, wbox_ref, wchild_ref, waxis_ref, w_hbm,
+    t_ref, id_ref, stack_ref, best_ref, bid_ref, wslots, sems,
+):
+    rays = rays_ref[...]  # (8, Rt)
+    rt = rays.shape[1]
+    invx, invy, invz = _tile_inv_dir(rays)
+    sx, sy, sz = _tile_axis_signs(rays)
+    sub_ids = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+
+    best_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
+    bid_ref[...] = jnp.full((1, rt), -1, jnp.int32)
+
+    def cond(carry):
+        return carry[0] >= 0
+
+    def body(carry):
+        i, sp = carry
+        boxes = wbox_ref[i]
+        best_t = best_ref[...]
+        ov = _children_slab(boxes, rays, invx, invy, invz, t_min, best_t)
+        bits = _overlap_bits(ov)
+        axis = waxis_ref[i]
+        sign = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+        # Phase A: start DMAs for ALL live leaf children (slot k <- child k).
+        for k in range(ARITY):
+            c = jnp.where(sign, k, ARITY - 1 - k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code <= -2)
+
+            @pl.when(live)
+            def _():
+                chunk = -2 - code
+                pltpu.make_async_copy(
+                    w_hbm.at[chunk], wslots.at[k], sems.at[k]
+                ).start()
+
+        # Phase B (near -> far): wait + intersect each live leaf.
+        for k in range(ARITY):
+            c = jnp.where(sign, k, ARITY - 1 - k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code <= -2)
+
+            @pl.when(live)
+            def _():
+                chunk = -2 - code
+                pltpu.make_async_copy(
+                    w_hbm.at[chunk], wslots.at[k], sems.at[k]
+                ).wait()
+                bt = best_ref[...]
+                tm = _pair_hits(rays, wslots[k], tc, t_min, bt, precision)
+                col_min = jnp.min(tm, axis=0, keepdims=True)
+                tri = jnp.min(
+                    jnp.where(tm <= col_min, sub_ids, jnp.int32(2**30)),
+                    axis=0,
+                    keepdims=True,
+                )
+                improved = col_min < bt
+                bid_ref[...] = jnp.where(
+                    improved, chunk * tc + tri, bid_ref[...]
+                )
+                best_ref[...] = jnp.where(improved, col_min, bt)
+
+        # Phase C (far -> near): push internal children (LIFO -> near pops).
+        push = jnp.int32(0)
+        for k in range(ARITY):
+            c = jnp.where(sign, ARITY - 1 - k, k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code >= 0)
+
+            @pl.when(live)
+            def _():
+                stack_ref[sp + push] = code
+
+            push = push + jnp.where(live, 1, 0)
+
+        sp = sp + push
+        has = sp > 0
+        top = stack_ref[jnp.maximum(sp - 1, 0)]
+        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    t_ref[...] = best_ref[...]
+    id_ref[...] = bid_ref[...]
+
+
+def _any_stream_kernel(
+    tc, t_min, precision,
+    rays_ref, tmax_ref, wbox_ref, wchild_ref, waxis_ref, w_hbm,
+    hit_ref, stack_ref, mint_ref, wslots, sems,
+):
+    rays = rays_ref[...]
+    t_max = tmax_ref[...]
+    rt = rays.shape[1]
+    invx, invy, invz = _tile_inv_dir(rays)
+
+    mint_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
+
+    def cond(carry):
+        i, sp, alive = carry
+        return (i >= 0) & alive
+
+    def body(carry):
+        i, sp, _ = carry
+        boxes = wbox_ref[i]
+        t_far = jnp.where(mint_ref[...] < MISS_T, t_min - 1.0, t_max)
+        ov = _children_slab(boxes, rays, invx, invy, invz, t_min, t_far)
+        bits = _overlap_bits(ov)
+
+        for k in range(ARITY):
+            code = wchild_ref[ARITY * i + k]
+            live = (((bits >> k) & 1) > 0) & (code <= -2)
+
+            @pl.when(live)
+            def _():
+                chunk = -2 - code
+                pltpu.make_async_copy(
+                    w_hbm.at[chunk], wslots.at[k], sems.at[k]
+                ).start()
+
+        push = jnp.int32(0)
+        for k in range(ARITY):
+            code = wchild_ref[ARITY * i + k]
+            hit_live = (((bits >> k) & 1) > 0)
+            leaf_live = hit_live & (code <= -2)
+            int_live = hit_live & (code >= 0)
+
+            @pl.when(leaf_live)
+            def _():
+                chunk = -2 - code
+                pltpu.make_async_copy(
+                    w_hbm.at[chunk], wslots.at[k], sems.at[k]
+                ).wait()
+                tm = _pair_hits(rays, wslots[k], tc, t_min, t_max, precision)
+                mint_ref[...] = jnp.minimum(
+                    mint_ref[...], jnp.min(tm, axis=0, keepdims=True)
+                )
+
+            @pl.when(int_live)
+            def _():
+                stack_ref[sp + push] = code
+
+            push = push + jnp.where(int_live, 1, 0)
+
+        sp = sp + push
+        has = sp > 0
+        top = stack_ref[jnp.maximum(sp - 1, 0)]
+        alive = jnp.any(mint_ref[...] >= MISS_T)
+        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0), alive
+
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(True))
+    )
+    hit_ref[...] = (mint_ref[...] < MISS_T).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "t_min", "precision", "interpret")
+)
+def intersect_closest_stream(
+    bvh: WideBVH,
+    origins: Vec3,
+    directions: Vec3,
+    t_min: float = 1e-4,
+    ray_tile: int = RAY_TILE,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+):
+    """Closest-hit wide-BVH traversal with HBM-resident leaf data."""
+    tc = bvh.leaf_size
+    rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
+
+    kernel = functools.partial(_closest_stream_kernel, tc, t_min, precision)
+    best_t, best_slot = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _rays_spec(ray_tile),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wbox
+            _smem_spec(),  # wchild
+            _smem_spec(),  # waxis
+            pl.BlockSpec(memory_space=pltpu.ANY),  # w stays in HBM
+        ],
+        out_specs=(_row_spec(ray_tile), _row_spec(ray_tile)),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, ray_tile), jnp.float32),
+            pltpu.VMEM((1, ray_tile), jnp.int32),
+            pltpu.VMEM((ARITY, 4, 3 * tc), jnp.float32),
+            pltpu.SemaphoreType.DMA((ARITY,)),
+        ],
+        interpret=interpret,
+    )(rays, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w)
+
+    best_t = best_t[0, :r]
+    best_slot = best_slot[0, :r]
+    hit = best_slot >= 0
+    tri = jnp.take(bvh.slot_tri, jnp.maximum(best_slot, 0))
+    tri = jnp.where(hit, tri, -1)
+    return jnp.where(hit, best_t, MISS_T), tri, hit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "t_min", "precision", "interpret")
+)
+def intersect_any_stream(
+    bvh: WideBVH,
+    origins: Vec3,
+    directions: Vec3,
+    t_min: float = 1e-4,
+    t_max=3.0e37,
+    ray_tile: int = RAY_TILE,
+    precision=jax.lax.Precision.HIGHEST,
+    interpret: bool = False,
+):
+    """Any-hit wide-BVH traversal with HBM-resident leaf data."""
+    tc = bvh.leaf_size
+    rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
+    t_max = jax.lax.stop_gradient(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    )
+    t_max = jnp.pad(t_max, (0, n_tiles * ray_tile - r))[None, :]
+
+    kernel = functools.partial(_any_stream_kernel, tc, t_min, precision)
+    blocked = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _rays_spec(ray_tile),
+            _row_spec(ray_tile),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _smem_spec(),
+            _smem_spec(),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=_row_spec(ray_tile),
+        out_shape=jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, ray_tile), jnp.float32),
+            pltpu.VMEM((ARITY, 4, 3 * tc), jnp.float32),
+            pltpu.SemaphoreType.DMA((ARITY,)),
+        ],
+        interpret=interpret,
+    )(rays, t_max, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w)
+    return blocked[0, :r] > 0
+
+
 @functools.partial(
     jax.jit, static_argnames=("ray_tile", "t_min", "precision", "interpret")
 )

@@ -71,9 +71,10 @@ class RenderOptions:
     # (16384 x 512 x 3 floats ~= 100 MB per operand on TPU.)
     tri_chunk: int = 512
     ray_block: int = 16384
-    # Intersection backend: "auto" (wide-BVH traversal kernels on TPU, XLA
-    # elsewhere), "wide" (arity-8 BVH), "bvh" (binary skip-pointer),
-    # "pallas" (flat-chunk kernels), or "xla".
+    # Intersection backend: "auto" (wide-BVH traversal kernels on TPU —
+    # HBM-streaming variant past the VMEM budget — XLA elsewhere), "wide"
+    # (arity-8 BVH), "stream" (arity-8 BVH, HBM-resident leaves), "bvh"
+    # (binary skip-pointer), "pallas" (flat-chunk kernels), or "xla".
     intersect_backend: str = "auto"
     # Pallas kernel tiling (rays per grid step, triangles per chunk).
     pallas_ray_tile: int = 1024
@@ -88,6 +89,10 @@ class RenderOptions:
     # traversal decisions across fewer rays -> tighter culling; 256 won the
     # on-chip sweep for sorted bounce wavefronts, see tpu_wide_check.py).
     wide_ray_tile: int = 256
+    # Triangles per leaf for the HBM-streaming backend ("stream", selected
+    # automatically past the VMEM budget): bigger leaves amortize the
+    # per-leaf DMA (128 tris = 6 KB per transfer).
+    stream_leaf_size: int = 128
     # Reorder the bounce wavefront each depth by (direction octant, origin
     # Morton): traversal tiles stay coherent and dead lanes cluster into
     # tiles that exit at the root (the wavefront-compaction analog).

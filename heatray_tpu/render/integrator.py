@@ -41,7 +41,9 @@ from ..ops.traverse_pallas import intersect_any_bvh, intersect_closest_bvh
 from ..ops.wide_bvh import (
     WideBVH,
     build_wide_bvh,
+    intersect_any_stream,
     intersect_any_wide,
+    intersect_closest_stream,
     intersect_closest_wide,
 )
 from ..sampling.tables import (
@@ -103,17 +105,18 @@ def _select_backend(options: RenderOptions, num_triangles: int) -> str:
     on_tpu = jax.default_backend() not in ("cpu", "gpu")
     if not on_tpu:
         return "xla"
-    # The Pallas backends keep the whole chunked Woop table in VMEM; the
-    # BVH pads leaves, so budget on the padded count.
+    # The VMEM-resident kernels keep the whole chunked Woop table in VMEM;
+    # past that budget the HBM-streaming traversal takes over (leaf chunks
+    # DMA'd on demand; node arrays stay resident).
     if num_triangles <= 250_000:
         return "wide"
     from ..utils.log import get_logger
 
-    get_logger("integrator").warning(
-        "scene has %d triangles > 250k VMEM budget: falling back to the "
-        "(slow) XLA brute-force intersector", num_triangles,
+    get_logger("integrator").info(
+        "scene has %d triangles > 250k VMEM budget: using the HBM-streaming "
+        "wide-BVH backend", num_triangles,
     )
-    return "xla"
+    return "stream"
 
 
 def build_accel(
@@ -147,13 +150,15 @@ def build_accel(
             == 0
         )
 
-    if backend == "wide":
-        wide = build_wide_bvh(accel, leaf_size=options.wide_leaf_size)
+    if backend in ("wide", "stream"):
+        ls = (
+            options.stream_leaf_size
+            if backend == "stream"
+            else options.wide_leaf_size
+        )
+        wide = build_wide_bvh(accel, leaf_size=ls)
         wide_occl = (
-            build_wide_bvh(
-                accel, leaf_size=options.wide_leaf_size,
-                include=_occl_include(),
-            )
+            build_wide_bvh(accel, leaf_size=ls, include=_occl_include())
             if scene.has_alpha_mask
             else wide
         )
@@ -291,7 +296,7 @@ def _use_pallas(options: RenderOptions, num_triangles: int) -> bool:
     """Backend select for the in-graph (no prebuilt pack) path: fused Pallas
     chunk kernels on TPU-like platforms, XLA tiled path elsewhere.  The BVH
     backends are only reachable through ``build_accel`` (host-side build)."""
-    if options.intersect_backend in ("pallas", "bvh", "wide"):
+    if options.intersect_backend in ("pallas", "bvh", "wide", "stream"):
         return True
     if options.intersect_backend == "xla":
         return False
@@ -342,12 +347,17 @@ def _shape_wrap(fn_flat):
     return fn
 
 
-def _make_wide_intersectors(pack: AccelPack, options: RenderOptions):
-    """(closest, any) over the prebuilt arity-8 BVH traversal kernels."""
+def _make_wide_intersectors(
+    pack: AccelPack, options: RenderOptions, stream: bool = False
+):
+    """(closest, any) over the prebuilt arity-8 BVH traversal kernels
+    (``stream=True``: the HBM-resident-leaf variants for large scenes)."""
     rt = options.wide_ray_tile
+    closest_k = intersect_closest_stream if stream else intersect_closest_wide
+    any_k = intersect_any_stream if stream else intersect_any_wide
 
     def closest(org, direction, t_min):
-        t, tid, hit = intersect_closest_wide(
+        t, tid, hit = closest_k(
             pack.wide, org, direction, t_min=t_min, ray_tile=rt
         )
         n = gather_geo_normal(pack.accel, jnp.maximum(tid, 0))
@@ -355,7 +365,7 @@ def _make_wide_intersectors(pack: AccelPack, options: RenderOptions):
         return t, tid, front, hit
 
     def any_hit(org, direction, t_min, t_max):
-        return intersect_any_wide(
+        return any_k(
             pack.wide_occl, org, direction, t_min=t_min, t_max=t_max,
             ray_tile=rt,
         )
@@ -537,8 +547,10 @@ def render_pass(
             if pack.shade_table is not None
             else build_shade_table(scene, pack.accel)
         )
-        if pack.backend == "wide":
-            closest_fn, any_fn = _make_wide_intersectors(pack, options)
+        if pack.backend in ("wide", "stream"):
+            closest_fn, any_fn = _make_wide_intersectors(
+                pack, options, stream=pack.backend == "stream"
+            )
         elif pack.backend == "bvh":
             closest_fn, any_fn = _make_bvh_intersectors(pack, options)
         elif pack.backend == "pallas":
@@ -622,7 +634,7 @@ def render_pass(
             "wide" if _use_pallas(options, scene.geometry.num_triangles)
             else "xla"
         )
-        sort_mode = backend in ("wide", "bvh", "pallas")
+        sort_mode = backend in ("wide", "stream", "bvh", "pallas")
     else:
         sort_mode = bool(options.sort_bounces)
     sort_on = sort_mode and options.max_ray_depth > 1

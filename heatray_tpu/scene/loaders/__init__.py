@@ -1,8 +1,10 @@
-"""Model loaders (OBJ/MTL, glTF/GLB) with the reference's material mapping."""
+"""Model loaders (OBJ/MTL, glTF/GLB, PLY, STL) with the reference's material
+mapping."""
 
 from typing import Optional
 
 from .gltf import load_gltf
+from .mesh_formats import load_ply, load_stl
 from .obj import load_obj
 
 
@@ -18,6 +20,10 @@ def load_model_scene(path: str, env=None, scale: float = 1.0):
         )
     elif path.endswith(".obj"):
         meshes, materials = load_obj(path, scale=scale)
+    elif path.endswith(".ply"):
+        meshes, materials = load_ply(path, scale=scale)
+    elif path.endswith(".stl"):
+        meshes, materials = load_stl(path, scale=scale)
     else:
         raise ValueError(f"unsupported model format: {path}")
     for mesh, mat in zip(meshes, materials):
@@ -35,4 +41,4 @@ def load_model_scene(path: str, env=None, scale: float = 1.0):
     return b.build()
 
 
-__all__ = ["load_gltf", "load_obj", "load_model_scene"]
+__all__ = ["load_gltf", "load_obj", "load_ply", "load_stl", "load_model_scene"]

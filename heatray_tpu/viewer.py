@@ -31,13 +31,46 @@ _PAGE = """<!doctype html>
 <html><head><title>heatray_tpu — progressive render</title><style>
 body { background: #181818; color: #ddd; font-family: monospace;
        display: flex; flex-direction: column; align-items: center; }
-img { image-rendering: pixelated; max-width: 95vw; max-height: 85vh;
+img { image-rendering: pixelated; max-width: 95vw; max-height: 75vh;
       border: 1px solid #444; margin-top: 8px; }
 #status { margin-top: 6px; }
+#editor { margin-top: 8px; width: 90vw; max-width: 720px; }
+textarea { width: 100%; height: 72px; background: #222; color: #ddd;
+           border: 1px solid #444; font-family: monospace; }
+button, input[type=range] { margin: 4px; }
+#msg { color: #8c8; }
+details { margin-top: 4px; }
 </style></head><body>
 <div id="status">waiting for first pass…</div>
 <img id="frame" src="/frame.png">
+<div id="editor">
+ <details><summary>edit (material / light / camera / post — JSON)</summary>
+  <textarea id="edit"
+   placeholder='{"type": "material", "index": 0, "base_color": [1, 0.2, 0.2]}'
+  ></textarea>
+  <button onclick="sendEdit()">apply</button>
+  <span id="msg"></span>
+  <div>
+   exposure <input type="range" id="ev" min="-4" max="4" step="0.25" value="0"
+    onchange="quick({type: 'post', exposure: parseFloat(this.value)})">
+   env EV <input type="range" id="env" min="-4" max="4" step="0.25" value="0"
+    onchange="quick({type: 'env', exposure: parseFloat(this.value)})">
+  </div>
+ </details>
+</div>
 <script>
+async function postEdit(obj) {
+  const r = await fetch('/edit', {method: 'POST',
+    headers: {'Content-Type': 'application/json'},
+    body: JSON.stringify(obj)});
+  document.getElementById('msg').textContent =
+    r.ok ? 'queued' : 'error ' + r.status;
+}
+function sendEdit() {
+  try { postEdit(JSON.parse(document.getElementById('edit').value)); }
+  catch (e) { document.getElementById('msg').textContent = '' + e; }
+}
+function quick(obj) { postEdit(obj); }
 async function tick() {
   try {
     const s = await (await fetch('/status.json')).json();
@@ -92,6 +125,21 @@ class ProgressiveViewer:
         }
         self._last_t = time.time()
         self._server: ThreadingHTTPServer | None = None
+        self._edits: list = []  # queued JSON edit messages (POST /edit)
+        self._scene_info: dict = {}
+
+    def poll_edits(self) -> list:
+        """Drain queued edit messages (called between passes by the
+        interactive loop — the ``renderUI -> runOpenRLTask`` analog)."""
+        with self._lock:
+            edits, self._edits = self._edits, []
+        return edits
+
+    def set_scene_info(self, info: dict):
+        """Publish the editable-surface listing served at /scene.json (the
+        material/light editor's data source)."""
+        with self._lock:
+            self._scene_info = info
 
     def update(self, rgb8: np.ndarray, passes_done: int, total_passes: int):
         now = time.time()
@@ -145,6 +193,10 @@ class ProgressiveViewer:
                     with viewer._lock:
                         body = json.dumps(viewer._status).encode()
                     ctype = "application/json"
+                elif self.path.startswith("/scene.json"):
+                    with viewer._lock:
+                        body = json.dumps(viewer._scene_info).encode()
+                    ctype = "application/json"
                 else:
                     body = _PAGE.encode()
                     ctype = "text/html"
@@ -152,6 +204,28 @@ class ProgressiveViewer:
                 self.send_header("Content-Type", ctype)
                 self.send_header("Content-Length", str(len(body)))
                 self.send_header("Cache-Control", "no-store")
+                self.end_headers()
+                self.wfile.write(body)
+
+            def do_POST(self):
+                if not self.path.startswith("/edit"):
+                    self.send_response(404)
+                    self.end_headers()
+                    return
+                try:
+                    n = int(self.headers.get("Content-Length", 0))
+                    edit = json.loads(self.rfile.read(n) or b"{}")
+                    assert isinstance(edit, dict)
+                except Exception:
+                    self.send_response(400)
+                    self.end_headers()
+                    return
+                with viewer._lock:
+                    viewer._edits.append(edit)
+                body = b'{"queued": true}'
+                self.send_response(200)
+                self.send_header("Content-Type", "application/json")
+                self.send_header("Content-Length", str(len(body)))
                 self.end_headers()
                 self.wfile.write(body)
 

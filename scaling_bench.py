@@ -1,0 +1,188 @@
+"""Scaling-efficiency measurement -> SCALING_rNN.json.
+
+Measures per-pass wall time and strong-scaling efficiency
+(eff(N) = t(1) / (N * t(N)) for a fixed total image) at dp mesh sizes
+1/2/4/8 and sp x dp = 4x2, on the virtual 8-device CPU mesh — the harness a
+real pod runs unmodified (swap the device list).  Also records the
+single-chip TPU pass time when a TPU is attached (dp=1 there; multi-chip
+hardware is not reachable from this box).
+
+Usage:
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+      python scaling_bench.py cpu
+  python scaling_bench.py tpu     # single real chip
+  python scaling_bench.py merge   # combine partial JSONs -> SCALING_r03.json
+
+North star (BASELINE.md): >= 80% efficiency at >= 2 hosts.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+OUT = "SCALING_r03.json"
+
+
+def _timed_passes(run, n=4):
+    import jax
+    import numpy as np
+
+    run(0)  # compile
+    t0 = time.time()
+    run(1)
+    t1 = time.time() - t0
+    t0 = time.time()
+    for i in range(n):
+        run(2 + i)
+    tn = (time.time() - t0) / n
+    return min(t1, tn)
+
+
+def bench_cpu() -> dict:
+    import jax
+
+    assert jax.default_backend() == "cpu", (
+        "run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
+        "device_count=8"
+    )
+    import jax.numpy as jnp
+    import numpy as np
+
+    from heatray_tpu.camera import orbit_camera
+    from heatray_tpu.options import FrameGlobals, RenderOptions
+    from heatray_tpu.parallel.sharding import (
+        make_mesh,
+        make_mesh_2d,
+        render_sharded_2d,
+        replicate,
+        shard_context,
+        sharded_accum,
+    )
+    from heatray_tpu.render.integrator import make_context, render_pass
+    from heatray_tpu.scene.builtin import cornell_box
+
+    w = h = 512
+    depth = 2
+    options = RenderOptions(
+        width=w, height=h, max_render_passes=16, max_ray_depth=depth
+    )
+    scene = cornell_box(light="both", with_spheres=True)
+    camera = orbit_camera(w, h, distance=6.2, focal_length_mm=35.0)
+    ctx0 = make_context(options, scene)
+
+    results = {"config": f"cornell {w}x{h} depth {depth}, cpu virtual mesh"}
+    dp_times = {}
+    for n in (1, 2, 4, 8):
+        mesh = make_mesh(n)
+        sc = replicate(scene, mesh)
+        cam = replicate(camera, mesh)
+        ctx = shard_context(ctx0, mesh)
+        accum = sharded_accum(options, mesh)
+
+        def run(i, accum=accum, sc=sc, cam=cam, ctx=ctx):
+            a = render_pass(sc, cam, ctx, options, FrameGlobals.create(i), accum)
+            jax.block_until_ready(a)
+
+        dt = _timed_passes(run)
+        dp_times[n] = dt
+        eff = dp_times[1] / (n * dt)
+        results[f"dp{n}"] = {
+            "pass_ms": round(dt * 1e3, 1),
+            "efficiency": round(eff, 3),
+        }
+        print(f"dp={n}: {dt*1e3:.1f} ms/pass  eff={eff:.2f}", file=sys.stderr)
+
+    # sp x dp 4x2: 8 passes land as 2 rounds of 4 concurrent slices.
+    mesh2 = make_mesh_2d(4, 2)
+    t0 = time.time()
+    render_sharded_2d(scene, camera, ctx0, options, mesh2, num_passes=4)
+    compile_and_first = time.time() - t0
+    t0 = time.time()
+    a = render_sharded_2d(scene, camera, ctx0, options, mesh2, num_passes=8)
+    jax.block_until_ready(a)
+    dt8 = time.time() - t0  # 2 rounds -> per-round time/round
+    per_round = dt8 / 2.0
+    # One sp round renders 4 passes concurrently; serial cost would be
+    # 4 * dp2 pass time.
+    eff_sp = (4 * dp_times[2]) / (4 * per_round)
+    results["sp4xdp2"] = {
+        "round_ms": round(per_round * 1e3, 1),
+        "passes_per_round": 4,
+        "efficiency_vs_dp2_serial": round(eff_sp, 3),
+    }
+    print(
+        f"sp4xdp2: {per_round*1e3:.1f} ms/round (4 passes) eff={eff_sp:.2f}",
+        file=sys.stderr,
+    )
+    return {"cpu_virtual_mesh": results}
+
+
+def bench_tpu() -> dict:
+    import jax
+
+    dev = jax.devices()[0]
+    import jax.numpy as jnp
+    import numpy as np
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/heatray_jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    from heatray_tpu.camera import orbit_camera
+    from heatray_tpu.options import FrameGlobals, RenderOptions
+    from heatray_tpu.render.integrator import make_context, render_pass
+    from heatray_tpu.scene.builtin import cornell_box
+
+    w, h, depth = 1920, 1080, 4
+    options = RenderOptions(
+        width=w, height=h, max_render_passes=16, max_ray_depth=depth
+    )
+    scene = cornell_box(light="both", with_spheres=True)
+    camera = orbit_camera(w, h, distance=6.2, focal_length_mm=35.0)
+    ctx = make_context(options, scene)
+    accum = jnp.zeros((4, h, w), jnp.float32)
+
+    # Fetch-slope timing (the tunnel's block_until_ready is unreliable).
+    def chain(n):
+        a = accum
+        t0 = time.time()
+        for i in range(n):
+            a = render_pass(scene, camera, ctx, options, FrameGlobals.create(i), a)
+        np.asarray(a)
+        return time.time() - t0
+
+    chain(1)
+    t1 = chain(2)
+    t2 = chain(10)
+    dt = max((t2 - t1) / 8, 1e-9)
+    print(f"tpu single chip: {dt*1e3:.1f} ms/pass", file=sys.stderr)
+    return {
+        "tpu_single_chip": {
+            "device": str(dev),
+            "config": f"cornell {w}x{h} depth {depth}",
+            "pass_ms": round(dt * 1e3, 1),
+            "dp": 1,
+        }
+    }
+
+
+def main():
+    mode = sys.argv[1] if len(sys.argv) > 1 else "cpu"
+    if mode == "merge":
+        merged = {}
+        for part in ("/tmp/scaling_cpu.json", "/tmp/scaling_tpu.json"):
+            if os.path.exists(part):
+                merged.update(json.load(open(part)))
+        json.dump(merged, open(OUT, "w"), indent=1)
+        print(json.dumps(merged))
+        return
+    data = bench_cpu() if mode == "cpu" else bench_tpu()
+    path = f"/tmp/scaling_{mode}.json"
+    json.dump(data, open(path, "w"), indent=1)
+    print(json.dumps(data))
+
+
+if __name__ == "__main__":
+    main()
