@@ -112,9 +112,34 @@ def _tile_slab_mask(rays, invx, invy, invz, box_ref, c, t_min, t_far):
     return tn <= tf
 
 
-def _pair_hits(rays, wm, tc, t_min, t_max_row, precision=jax.lax.Precision.HIGHEST):
-    """Shared hit math: one ray tile x one chunk -> masked t (Tc, Rt)."""
-    o_feat = rays[0:4, :]  # (4, Rt): ox, oy, oz, 1
+def _pair_hits(
+    rays, wm, tc, t_min, t_max_row,
+    precision=jax.lax.Precision.HIGHEST, anchor=None,
+):
+    """Shared hit math: one ray tile x one chunk -> masked t (Tc, Rt).
+
+    ``anchor`` (3 traced scalars) re-centers ray origins to the chunk's
+    anchor point (whose translation the packer folded into the w3 columns).
+    The affine result is mathematically unchanged, but the product
+    magnitudes now scale with the ray's DISTANCE TO THE CHUNK instead of
+    absolute scene coordinates — which keeps the bf16x3 schedule's ~2^-22
+    per-product error proportional to the local geometry and makes the
+    3-pass MXU schedule accurate enough to be the default (without it, far
+    origins + sliver triangles amplify cancellation to ~1e-2 relative t).
+    """
+    if anchor is not None:
+        ax, ay, az = anchor
+        o_feat = jnp.concatenate(
+            [
+                rays[0:1, :] - ax,
+                rays[1:2, :] - ay,
+                rays[2:3, :] - az,
+                rays[3:4, :],
+            ],
+            axis=0,
+        )
+    else:
+        o_feat = rays[0:4, :]  # (4, Rt): ox, oy, oz, 1
     d_feat = rays[4:8, :]  # (4, Rt): dx, dy, dz, 0
     dims = (((0,), (0,)), ((), ()))
     if precision == "bf16x3":
@@ -161,6 +186,41 @@ def _pair_hits(rays, wm, tc, t_min, t_max_row, precision=jax.lax.Precision.HIGHE
         & (b1 + b2 <= 1.0 + _BARY_EPS)
         & (t > t_min)
         & (t < t_max_row)
+    )
+    return jnp.where(valid, t, MISS_T)
+
+
+def _pair_hits_t(raysT, wm, tc, t_min, t_max_col, anchor=None):
+    """TRANSPOSED pair math: (Rt, 8) rays x (4, 3Tc) chunk -> (Rt, Tc) t.
+
+    The Woop affine as 13 broadcast FMA/mul VPU ops on (Rt, 3Tc) tiles —
+    exact f32 and measured 2.5x the MXU HIGHEST schedule on v5e (the K=4
+    contraction wastes the systolic array; see tpu_vpu_leaf.py).  Requires
+    Tc % 128 == 0 so the b1/b2/s lane-block slices stay tile-aligned.
+    ``t_max_col`` broadcasts from (Rt, 1).  ``anchor`` re-centers origins
+    for anchored chunk packs (see ``_pair_hits``).
+    """
+    ox, oy, oz = raysT[:, 0:1], raysT[:, 1:2], raysT[:, 2:3]
+    if anchor is not None:
+        ax, ay, az = anchor
+        ox, oy, oz = ox - ax, oy - ay, oz - az
+    dx, dy, dz = raysT[:, 4:5], raysT[:, 5:6], raysT[:, 6:7]
+    w0, w1, w2, w3 = wm[0:1, :], wm[1:2, :], wm[2:3, :], wm[3:4, :]
+    po = ox * w0 + oy * w1 + oz * w2 + w3  # (Rt, 3Tc)
+    pd = dx * w0 + dy * w1 + dz * w2
+    ob1, ob2, os_ = po[:, :tc], po[:, tc : 2 * tc], po[:, 2 * tc :]
+    db1, db2, ds = pd[:, :tc], pd[:, tc : 2 * tc], pd[:, 2 * tc :]
+    dz_ok = jnp.abs(ds) > _DZ_EPS
+    t = jnp.where(dz_ok, -os_ / jnp.where(dz_ok, ds, 1.0), MISS_T)
+    b1 = ob1 + t * db1
+    b2 = ob2 + t * db2
+    valid = (
+        dz_ok
+        & (b1 >= -_BARY_EPS)
+        & (b2 >= -_BARY_EPS)
+        & (b1 + b2 <= 1.0 + _BARY_EPS)
+        & (t > t_min)
+        & (t < t_max_col)
     )
     return jnp.where(valid, t, MISS_T)
 

@@ -43,6 +43,7 @@ from .intersect_pallas import (
     MISS_T,
     _pack_rays,
     _pair_hits,
+    _pair_hits_t,
     _row_spec,
     _rays_spec,
     _tile_inv_dir,
@@ -68,8 +69,11 @@ class WideBVH:
     ``-1``: empty; ``<= -2``: leaf, chunk id = ``-2 - code``.
     ``waxis``: (Nw,) i32 — the axis children are sorted along (ascending).
     ``w``: (C, 4, 3*Tc) f32 chunk-packed Woop rows (``intersect_pallas``
-    pair-math layout).  ``slot_tri``: (C * Tc,) i32 chunk slot -> original
-    triangle id (-1 padding).
+    pair-math layout), RE-CENTERED: each chunk's translation column has the
+    anchor ``wanchor[c]`` folded in (in float64 at pack time), so the kernel
+    evaluates the affine at ``o - anchor`` — see ``_pair_hits``.
+    ``slot_tri``: (C * Tc,) i32 chunk slot -> original triangle id (-1
+    padding).  ``wanchor``: (C, 3) f32 chunk anchor points (SMEM).
     """
 
     wbox: jnp.ndarray
@@ -77,6 +81,7 @@ class WideBVH:
     waxis: jnp.ndarray
     w: jnp.ndarray
     slot_tri: jnp.ndarray
+    wanchor: jnp.ndarray
     leaf_size: int = struct.field(pytree_node=False)
     num_triangles: int = struct.field(pytree_node=False)
 
@@ -186,7 +191,27 @@ def build_wide_bvh(
     w_host = np.asarray(accel.w)
     valid = (topo.slot_tri >= 0).astype(np.float32)
     safe = np.maximum(topo.slot_tri, 0)
-    w = np.take(w_host, safe, axis=1) * valid[None, :]
+    w = np.take(w_host, safe, axis=1).astype(np.float64) * valid[None, :]
+
+    # Per-chunk anchors (chunk AABB centers) + fold their translation into
+    # the w3 columns IN FLOAT64: the fold is exactly the cancellation-prone
+    # sum, so doing it at double precision leaves w3' accurate to f32 ulp of
+    # its (small) recentered value.
+    vmask = valid[None, :] > 0
+    tmn = np.where(vmask, np.take(np.asarray(accel.tri_min), safe, axis=1), np.inf)
+    tmx = np.where(vmask, np.take(np.asarray(accel.tri_max), safe, axis=1), -np.inf)
+    lo = tmn.reshape(3, c, tc).min(axis=2)
+    hi = tmx.reshape(3, c, tc).max(axis=2)
+    ok = np.isfinite(lo) & np.isfinite(hi)
+    anchors = np.where(ok, 0.5 * (lo + hi), 0.0).astype(np.float64)  # (3, C)
+    a_slot = np.repeat(anchors, tc, axis=1)  # (3, C*Tc)
+    for g in range(3):
+        w[4 * g + 3] += (
+            a_slot[0] * w[4 * g + 0]
+            + a_slot[1] * w[4 * g + 1]
+            + a_slot[2] * w[4 * g + 2]
+        )
+    w = w.astype(np.float32)
     w = w.reshape(12, c, tc).transpose(1, 0, 2)
     w = w.reshape(c, 3, 4, tc).transpose(0, 2, 1, 3).reshape(c, 4, 3 * tc)
 
@@ -196,6 +221,7 @@ def build_wide_bvh(
         waxis=jnp.asarray(waxis),
         w=jnp.asarray(np.ascontiguousarray(w)),
         slot_tri=jnp.asarray(topo.slot_tri),
+        wanchor=jnp.asarray(anchors.T.astype(np.float32)),
         leaf_size=tc,
         num_triangles=accel.num_triangles,
     )
@@ -249,7 +275,7 @@ def _tile_axis_signs(rays):
 
 def _closest_kernel(
     tc, t_min, precision,
-    rays_ref, wbox_ref, wchild_ref, waxis_ref, w_ref,
+    rays_ref, wbox_ref, wchild_ref, waxis_ref, w_ref, wanchor_ref,
     t_ref, id_ref, stack_ref, best_ref, bid_ref,
 ):
     rays = rays_ref[...]  # (8, Rt)
@@ -285,7 +311,14 @@ def _closest_kernel(
             def _():
                 chunk = -2 - code
                 bt = best_ref[...]
-                tm = _pair_hits(rays, w_ref[chunk], tc, t_min, bt, precision)
+                anchor = (
+                    wanchor_ref[chunk, 0],
+                    wanchor_ref[chunk, 1],
+                    wanchor_ref[chunk, 2],
+                )
+                tm = _pair_hits(
+                    rays, w_ref[chunk], tc, t_min, bt, precision, anchor
+                )
                 col_min = jnp.min(tm, axis=0, keepdims=True)  # (1, Rt)
                 tri = jnp.min(
                     jnp.where(tm <= col_min, sub_ids, jnp.int32(2**30)),
@@ -323,7 +356,7 @@ def _closest_kernel(
 
 def _any_kernel(
     tc, t_min, precision,
-    rays_ref, tmax_ref, wbox_ref, wchild_ref, waxis_ref, w_ref,
+    rays_ref, tmax_ref, wbox_ref, wchild_ref, waxis_ref, w_ref, wanchor_ref,
     hit_ref, stack_ref, mint_ref,
 ):
     rays = rays_ref[...]
@@ -355,7 +388,14 @@ def _any_kernel(
             @pl.when(leaf_live)
             def _():
                 chunk = -2 - code
-                tm = _pair_hits(rays, w_ref[chunk], tc, t_min, t_max, precision)
+                anchor = (
+                    wanchor_ref[chunk, 0],
+                    wanchor_ref[chunk, 1],
+                    wanchor_ref[chunk, 2],
+                )
+                tm = _pair_hits(
+                    rays, w_ref[chunk], tc, t_min, t_max, precision, anchor
+                )
                 mint_ref[...] = jnp.minimum(
                     mint_ref[...], jnp.min(tm, axis=0, keepdims=True)
                 )
@@ -384,6 +424,264 @@ def _smem_spec():
 
 
 # ---------------------------------------------------------------------------
+# Hybrid kernels: row-layout node phase + transposed VPU leaf math
+# ---------------------------------------------------------------------------
+#
+# The MXU pair test wastes the systolic array on a K=4 contraction and pays
+# 6 bf16 passes for f32-exact HIGHEST; the same math as 13 broadcast VPU ops
+# on a TRANSPOSED (Rt, 3Tc) pair matrix measured 2.5-4x faster AND exact
+# (tpu_vpu_leaf.py).  The node phase, however, must stay in the ROW layout
+# (children on sublanes, rays on lanes): a fully-transposed kernel puts slab
+# tests on (Rt, 8) shapes that use 8 of 128 lanes — measured SLOWER overall.
+# So these kernels are hybrids: the traversal loop is the row-layout walk of
+# ``_closest_kernel``, and each leaf visit transposes the running best-t row
+# to a column, runs the VPU pair test against the per-tile transposed rays,
+# and transposes the (Rt, 1) results back.  Leaf size must be a multiple of
+# 128 so the b1/b2/s lane-block slices stay tile-aligned.
+
+
+def _closest_kernel_t(
+    tc, t_min,
+    rays_ref, wbox_ref, wchild_ref, waxis_ref, w_ref, wanchor_ref,
+    t_ref, id_ref, stack_ref, best_ref, bid_ref,
+):
+    rays = rays_ref[...]  # (8, Rt) row layout for the node phase
+    raysT = rays.T  # (Rt, 8), ONE relayout per tile, for the leaf phase
+    rt = rays.shape[1]
+    invx, invy, invz = _tile_inv_dir(rays)
+    sx, sy, sz = _tile_axis_signs(rays)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+
+    best_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
+    bid_ref[...] = jnp.full((1, rt), -1, jnp.int32)
+
+    def cond(carry):
+        return carry[0] >= 0
+
+    def body(carry):
+        i, sp = carry
+        boxes = wbox_ref[i]  # (8, 8) children on sublanes
+        best_t = best_ref[...]
+        ov = _children_slab(boxes, rays, invx, invy, invz, t_min, best_t)
+        bits = _overlap_bits(ov)
+        axis = waxis_ref[i]
+        sign = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+        # Pass 1 (near -> far): leaf children, transposed VPU pair test.
+        for k in range(ARITY):
+            c = jnp.where(sign, k, ARITY - 1 - k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code <= -2)
+
+            @pl.when(live)
+            def _():
+                chunk = -2 - code
+                bt = best_ref[...]  # (1, Rt)
+                anchor = (
+                    wanchor_ref[chunk, 0],
+                    wanchor_ref[chunk, 1],
+                    wanchor_ref[chunk, 2],
+                )
+                tm = _pair_hits_t(
+                    raysT, w_ref[chunk], tc, t_min, bt.T, anchor
+                )
+                col_min = jnp.min(tm, axis=1, keepdims=True)  # (Rt, 1)
+                tri = jnp.min(
+                    jnp.where(tm <= col_min, lane_ids, jnp.int32(2**30)),
+                    axis=1,
+                    keepdims=True,
+                )
+                row_min = col_min.T  # back to (1, Rt) rows
+                improved = row_min < bt
+                bid_ref[...] = jnp.where(
+                    improved, chunk * tc + tri.T, bid_ref[...]
+                )
+                best_ref[...] = jnp.where(improved, row_min, bt)
+
+        # Pass 2 (far -> near): push internal children (LIFO -> near pops).
+        push = jnp.int32(0)
+        for k in range(ARITY):
+            c = jnp.where(sign, ARITY - 1 - k, k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code >= 0)
+
+            @pl.when(live)
+            def _():
+                stack_ref[sp + push] = code
+
+            push = push + jnp.where(live, 1, 0)
+
+        sp = sp + push
+        has = sp > 0
+        top = stack_ref[jnp.maximum(sp - 1, 0)]
+        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    t_ref[...] = best_ref[...]
+    id_ref[...] = bid_ref[...]
+
+
+def _any_kernel_t(
+    tc, t_min,
+    rays_ref, tmax_ref, wbox_ref, wchild_ref, w_ref, wanchor_ref,
+    hit_ref, stack_ref, mint_ref,
+):
+    rays = rays_ref[...]
+    raysT = rays.T
+    t_max = tmax_ref[...]  # (1, Rt)
+    t_max_col = t_max.T  # (Rt, 1) for the leaf phase
+    rt = rays.shape[1]
+    invx, invy, invz = _tile_inv_dir(rays)
+
+    mint_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
+
+    def cond(carry):
+        i, sp, alive = carry
+        return (i >= 0) & alive
+
+    def body(carry):
+        i, sp, _ = carry
+        boxes = wbox_ref[i]
+        # Blocked lanes get an empty interval.
+        t_far = jnp.where(mint_ref[...] < MISS_T, t_min - 1.0, t_max)
+        ov = _children_slab(boxes, rays, invx, invy, invz, t_min, t_far)
+        bits = _overlap_bits(ov)
+
+        push = jnp.int32(0)
+        for c in range(ARITY):  # occlusion: order irrelevant
+            code = wchild_ref[ARITY * i + c]
+            hit_live = (((bits >> c) & 1) > 0)
+            leaf_live = hit_live & (code <= -2)
+            int_live = hit_live & (code >= 0)
+
+            @pl.when(leaf_live)
+            def _():
+                chunk = -2 - code
+                anchor = (
+                    wanchor_ref[chunk, 0],
+                    wanchor_ref[chunk, 1],
+                    wanchor_ref[chunk, 2],
+                )
+                tm = _pair_hits_t(
+                    raysT, w_ref[chunk], tc, t_min, t_max_col, anchor
+                )
+                mint_ref[...] = jnp.minimum(
+                    mint_ref[...], jnp.min(tm, axis=1, keepdims=True).T
+                )
+
+            @pl.when(int_live)
+            def _():
+                stack_ref[sp + push] = code
+
+            push = push + jnp.where(int_live, 1, 0)
+
+        sp = sp + push
+        has = sp > 0
+        top = stack_ref[jnp.maximum(sp - 1, 0)]
+        alive = jnp.any(mint_ref[...] >= MISS_T)
+        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0), alive
+
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(True))
+    )
+    hit_ref[...] = (mint_ref[...] < MISS_T).astype(jnp.int32)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "t_min", "interpret")
+)
+def intersect_closest_vpu(
+    bvh: WideBVH,
+    origins: Vec3,
+    directions: Vec3,
+    t_min: float = 1e-4,
+    ray_tile: int = RAY_TILE,
+    interpret: bool = False,
+):
+    """Closest-hit wide-BVH traversal, transposed layout + VPU leaf math
+    (exact f32; the fast path).  Requires ``bvh.leaf_size % 128 == 0``."""
+    tc = bvh.leaf_size
+    assert tc % 128 == 0, "VPU leaf math needs leaf_size % 128 == 0"
+    rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
+
+    kernel = functools.partial(_closest_kernel_t, tc, t_min)
+    best_t, best_slot = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _rays_spec(ray_tile),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # wbox
+            _smem_spec(),  # wchild
+            _smem_spec(),  # waxis
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # chunked w
+            _smem_spec(),  # wanchor
+        ],
+        out_specs=(_row_spec(ray_tile), _row_spec(ray_tile)),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.float32),
+            jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
+        ),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, ray_tile), jnp.float32),
+            pltpu.VMEM((1, ray_tile), jnp.int32),
+        ],
+        interpret=interpret,
+    )(rays, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w, bvh.wanchor)
+
+    best_t = best_t[0, :r]
+    best_slot = best_slot[0, :r]
+    hit = best_slot >= 0
+    tri = jnp.take(bvh.slot_tri, jnp.maximum(best_slot, 0))
+    tri = jnp.where(hit, tri, -1)
+    return jnp.where(hit, best_t, MISS_T), tri, hit
+
+
+@functools.partial(
+    jax.jit, static_argnames=("ray_tile", "t_min", "interpret")
+)
+def intersect_any_vpu(
+    bvh: WideBVH,
+    origins: Vec3,
+    directions: Vec3,
+    t_min: float = 1e-4,
+    t_max=3.0e37,
+    ray_tile: int = RAY_TILE,
+    interpret: bool = False,
+):
+    """Any-hit wide-BVH traversal, transposed layout + VPU leaf math."""
+    tc = bvh.leaf_size
+    assert tc % 128 == 0, "VPU leaf math needs leaf_size % 128 == 0"
+    rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
+    t_max = jax.lax.stop_gradient(
+        jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
+    )
+    t_max = jnp.pad(t_max, (0, n_tiles * ray_tile - r))[None, :]
+
+    kernel = functools.partial(_any_kernel_t, tc, t_min)
+    blocked = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=[
+            _rays_spec(ray_tile),
+            _row_spec(ray_tile),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _smem_spec(),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _smem_spec(),  # wanchor
+        ],
+        out_specs=_row_spec(ray_tile),
+        out_shape=jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
+        scratch_shapes=[
+            pltpu.SMEM((STACK_DEPTH,), jnp.int32),
+            pltpu.VMEM((1, ray_tile), jnp.float32),
+        ],
+        interpret=interpret,
+    )(rays, t_max, bvh.wbox, bvh.wchild, bvh.w, bvh.wanchor)
+    return blocked[0, :r] > 0
+
+
+# ---------------------------------------------------------------------------
 # HBM-streaming traversal: scenes past the ~250k-triangle VMEM budget
 # ---------------------------------------------------------------------------
 #
@@ -401,7 +699,7 @@ def _smem_spec():
 
 def _closest_stream_kernel(
     tc, t_min, precision,
-    rays_ref, wbox_ref, wchild_ref, waxis_ref, w_hbm,
+    rays_ref, wbox_ref, wchild_ref, waxis_ref, w_hbm, wanchor_ref,
     t_ref, id_ref, stack_ref, best_ref, bid_ref, wslots, sems,
 ):
     rays = rays_ref[...]  # (8, Rt)
@@ -451,7 +749,14 @@ def _closest_stream_kernel(
                     w_hbm.at[chunk], wslots.at[k], sems.at[k]
                 ).wait()
                 bt = best_ref[...]
-                tm = _pair_hits(rays, wslots[k], tc, t_min, bt, precision)
+                anchor = (
+                    wanchor_ref[chunk, 0],
+                    wanchor_ref[chunk, 1],
+                    wanchor_ref[chunk, 2],
+                )
+                tm = _pair_hits(
+                    rays, wslots[k], tc, t_min, bt, precision, anchor
+                )
                 col_min = jnp.min(tm, axis=0, keepdims=True)
                 tri = jnp.min(
                     jnp.where(tm <= col_min, sub_ids, jnp.int32(2**30)),
@@ -489,7 +794,7 @@ def _closest_stream_kernel(
 
 def _any_stream_kernel(
     tc, t_min, precision,
-    rays_ref, tmax_ref, wbox_ref, wchild_ref, waxis_ref, w_hbm,
+    rays_ref, tmax_ref, wbox_ref, wchild_ref, waxis_ref, w_hbm, wanchor_ref,
     hit_ref, stack_ref, mint_ref, wslots, sems,
 ):
     rays = rays_ref[...]
@@ -534,7 +839,14 @@ def _any_stream_kernel(
                 pltpu.make_async_copy(
                     w_hbm.at[chunk], wslots.at[k], sems.at[k]
                 ).wait()
-                tm = _pair_hits(rays, wslots[k], tc, t_min, t_max, precision)
+                anchor = (
+                    wanchor_ref[chunk, 0],
+                    wanchor_ref[chunk, 1],
+                    wanchor_ref[chunk, 2],
+                )
+                tm = _pair_hits(
+                    rays, wslots[k], tc, t_min, t_max, precision, anchor
+                )
                 mint_ref[...] = jnp.minimum(
                     mint_ref[...], jnp.min(tm, axis=0, keepdims=True)
                 )
@@ -583,6 +895,7 @@ def intersect_closest_stream(
             _smem_spec(),  # wchild
             _smem_spec(),  # waxis
             pl.BlockSpec(memory_space=pltpu.ANY),  # w stays in HBM
+            _smem_spec(),  # wanchor
         ],
         out_specs=(_row_spec(ray_tile), _row_spec(ray_tile)),
         out_shape=(
@@ -597,7 +910,7 @@ def intersect_closest_stream(
             pltpu.SemaphoreType.DMA((ARITY,)),
         ],
         interpret=interpret,
-    )(rays, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w)
+    )(rays, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w, bvh.wanchor)
 
     best_t = best_t[0, :r]
     best_slot = best_slot[0, :r]
@@ -639,6 +952,7 @@ def intersect_any_stream(
             _smem_spec(),
             _smem_spec(),
             pl.BlockSpec(memory_space=pltpu.ANY),
+            _smem_spec(),  # wanchor
         ],
         out_specs=_row_spec(ray_tile),
         out_shape=jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
@@ -649,7 +963,7 @@ def intersect_any_stream(
             pltpu.SemaphoreType.DMA((ARITY,)),
         ],
         interpret=interpret,
-    )(rays, t_max, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w)
+    )(rays, t_max, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w, bvh.wanchor)
     return blocked[0, :r] > 0
 
 
@@ -680,6 +994,7 @@ def intersect_closest_wide(
             _smem_spec(),  # wchild
             _smem_spec(),  # waxis
             pl.BlockSpec(memory_space=pltpu.VMEM),  # chunked w
+            _smem_spec(),  # wanchor
         ],
         out_specs=(_row_spec(ray_tile), _row_spec(ray_tile)),
         out_shape=(
@@ -692,7 +1007,7 @@ def intersect_closest_wide(
             pltpu.VMEM((1, ray_tile), jnp.int32),
         ],
         interpret=interpret,
-    )(rays, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w)
+    )(rays, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w, bvh.wanchor)
 
     best_t = best_t[0, :r]
     best_slot = best_slot[0, :r]
@@ -735,6 +1050,7 @@ def intersect_any_wide(
             _smem_spec(),
             _smem_spec(),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            _smem_spec(),  # wanchor
         ],
         out_specs=_row_spec(ray_tile),
         out_shape=jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
@@ -743,5 +1059,5 @@ def intersect_any_wide(
             pltpu.VMEM((1, ray_tile), jnp.float32),
         ],
         interpret=interpret,
-    )(rays, t_max, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w)
+    )(rays, t_max, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w, bvh.wanchor)
     return blocked[0, :r] > 0

@@ -82,8 +82,20 @@ class RenderOptions:
     # Triangles per BVH leaf (one fixed-size chunk per leaf; the Pallas
     # traversal hit-tests a whole leaf against a ray tile at once).
     bvh_leaf_size: int = 64
+    # Leaf intersection math for the wide-BVH backend: "mxu" (K=4 MXU
+    # contraction — pipelines across the traversal loop's predicated leaf
+    # visits, the measured overall winner) or "vpu" (transposed broadcast
+    # VPU ops — 2.5-4x faster per pair in isolation but loses its edge to
+    # predication stalls inside traversal; kept for sweeps).
+    wide_leaf_math: str = "mxu"
+    # MXU schedule for the wide-backend pair test: "bf16x3" (3 bf16 passes;
+    # safe as default because chunk re-centering keeps its ~2^-22 relative
+    # error proportional to LOCAL geometry — see _pair_hits) or "highest"
+    # (6 passes, full f32).
+    wide_precision: str = "bf16x3"
     # Triangles per wide-BVH (arity-8) leaf: smaller leaves cull finer —
-    # the 8-wide slab test amortizes the extra nodes.
+    # the 8-wide slab test amortizes the extra nodes.  ("vpu" leaf math
+    # rounds this up to a multiple of 128: lane-tile alignment.)
     wide_leaf_size: int = 32
     # Rays per grid step for the wide-BVH kernels (smaller tiles share
     # traversal decisions across fewer rays -> tighter culling; 256 won the

@@ -42,8 +42,10 @@ from ..ops.wide_bvh import (
     WideBVH,
     build_wide_bvh,
     intersect_any_stream,
+    intersect_any_vpu,
     intersect_any_wide,
     intersect_closest_stream,
+    intersect_closest_vpu,
     intersect_closest_wide,
 )
 from ..sampling.tables import (
@@ -151,11 +153,13 @@ def build_accel(
         )
 
     if backend in ("wide", "stream"):
-        ls = (
-            options.stream_leaf_size
-            if backend == "stream"
-            else options.wide_leaf_size
-        )
+        if backend == "stream":
+            ls = options.stream_leaf_size
+        else:
+            ls = options.wide_leaf_size
+            if options.wide_leaf_math == "vpu":
+                ls = -(-ls // 128) * 128  # lane-tile alignment
+
         wide = build_wide_bvh(accel, leaf_size=ls)
         wide_occl = (
             build_wide_bvh(accel, leaf_size=ls, include=_occl_include())
@@ -353,12 +357,23 @@ def _make_wide_intersectors(
     """(closest, any) over the prebuilt arity-8 BVH traversal kernels
     (``stream=True``: the HBM-resident-leaf variants for large scenes)."""
     rt = options.wide_ray_tile
-    closest_k = intersect_closest_stream if stream else intersect_closest_wide
-    any_k = intersect_any_stream if stream else intersect_any_wide
+    prec = (
+        "bf16x3"
+        if options.wide_precision == "bf16x3"
+        else jax.lax.Precision.HIGHEST
+    )
+    kw = {"precision": prec}
+    if stream:
+        closest_k, any_k = intersect_closest_stream, intersect_any_stream
+    elif options.wide_leaf_math == "vpu":
+        closest_k, any_k = intersect_closest_vpu, intersect_any_vpu
+        kw = {}  # VPU math is exact f32; no schedule knob
+    else:
+        closest_k, any_k = intersect_closest_wide, intersect_any_wide
 
     def closest(org, direction, t_min):
         t, tid, hit = closest_k(
-            pack.wide, org, direction, t_min=t_min, ray_tile=rt
+            pack.wide, org, direction, t_min=t_min, ray_tile=rt, **kw
         )
         n = gather_geo_normal(pack.accel, jnp.maximum(tid, 0))
         front = direction.dot(n) < 0.0
@@ -367,7 +382,7 @@ def _make_wide_intersectors(
     def any_hit(org, direction, t_min, t_max):
         return any_k(
             pack.wide_occl, org, direction, t_min=t_min, t_max=t_max,
-            ray_tile=rt,
+            ray_tile=rt, **kw,
         )
 
     return _shape_wrap(closest), _shape_wrap(any_hit)

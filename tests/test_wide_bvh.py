@@ -110,12 +110,15 @@ def test_any_matches_xla():
 
 
 def test_bf16x3_precision_close():
-    """The manual bf16x3 schedule vs HIGHEST on a worst-case sliver soup.
+    """The bf16x3 schedule vs HIGHEST on a worst-case sliver soup.
 
-    Dropping the lo*lo term costs ~2^-18 relative per product, which
-    cancellation in sliver-triangle Woop rows amplifies to ~1e-2 — hence
-    bf16x3 is an OPT-IN speed mode, not the default.  This test pins the
-    degradation envelope so a regression (e.g. losing a split term) fails."""
+    With chunk RE-CENTERING (anchors folded into the translation columns in
+    float64 at pack time), the 3-pass schedule's error is the 2-way bf16
+    split's ~2^-16 per product, amplified only by LOCAL cancellation:
+    worst-case ~7e-3 relative t at grazing sliver hits on this adversarial
+    soup (vs 2e-2 un-anchored), with the bulk of hits below 1e-4.  This
+    test pins that envelope: a regression (losing a split term, or losing
+    the anchoring) blows it up."""
     positions, indices = make_soup(400, seed=19)
     accel = build_woop(planar(positions), planar(indices))
     bvh = build_wide_bvh(accel, leaf_size=32)
@@ -129,12 +132,13 @@ def test_bf16x3_precision_close():
         bvh, org, d, ray_tile=256, interpret=True, precision="bf16x3"
     )
     agree = (np.asarray(hit_hi) == np.asarray(hit_b3)).mean()
-    assert agree > 0.99, f"bf16x3 hit agreement {agree}"
+    assert agree > 0.998, f"bf16x3 hit agreement {agree}"
     m = np.asarray(hit_hi) & np.asarray(hit_b3)
     rel = np.abs(np.asarray(t_b3)[m] - np.asarray(t_hi)[m]) / np.maximum(
         np.asarray(t_hi)[m], 1e-3
     )
-    assert rel.max() < 2e-2, f"bf16x3 max rel t error {rel.max()}"
+    assert rel.max() < 1e-2, f"bf16x3 max rel t error {rel.max()}"
+    assert np.median(rel) < 1e-5, f"bf16x3 median rel t error {np.median(rel)}"
 
 
 def test_include_filter():
@@ -146,3 +150,45 @@ def test_include_filter():
     bvh = build_wide_bvh(accel, leaf_size=16, include=include)
     tri = np.asarray(bvh.slot_tri)
     assert (tri[tri >= 0] < 100).all()
+
+
+@pytest.mark.parametrize("ray_tile", [256, 512])
+def test_vpu_closest_matches_xla(ray_tile):
+    """The transposed VPU-leaf kernel vs the XLA brute force (exact f32)."""
+    from heatray_tpu.ops.wide_bvh import intersect_closest_vpu
+
+    positions, indices = make_soup(700, seed=11)
+    accel = build_woop(planar(positions), planar(indices))
+    bvh = build_wide_bvh(accel, leaf_size=128)
+    orig, dirs = make_rays(512, seed=7)
+    org, d = v3(planar(orig).T), v3(planar(dirs).T)
+
+    t_ref, id_ref, _, hit_ref = intersect_closest(accel, org, d)
+    t_v, id_v, hit_v = intersect_closest_vpu(
+        bvh, org, d, ray_tile=ray_tile, interpret=True
+    )
+    np.testing.assert_array_equal(np.asarray(hit_ref), np.asarray(hit_v))
+    m = np.asarray(hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(t_ref)[m], np.asarray(t_v)[m], rtol=1e-5, atol=1e-5
+    )
+    same = np.asarray(id_ref)[m] == np.asarray(id_v)[m]
+    assert same.mean() > 0.999
+
+
+def test_vpu_any_matches_xla():
+    from heatray_tpu.ops.wide_bvh import intersect_any_vpu
+
+    positions, indices = make_soup(700, seed=13)
+    accel = build_woop(planar(positions), planar(indices))
+    bvh = build_wide_bvh(accel, leaf_size=128)
+    orig, dirs = make_rays(512, seed=17)
+    org, d = v3(planar(orig).T), v3(planar(dirs).T)
+
+    blocked_ref = intersect_any(accel, org, d, t_max=5.0)
+    blocked_v = intersect_any_vpu(
+        bvh, org, d, t_max=5.0, ray_tile=256, interpret=True
+    )
+    np.testing.assert_array_equal(
+        np.asarray(blocked_ref), np.asarray(blocked_v)
+    )
