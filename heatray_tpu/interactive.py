@@ -167,7 +167,12 @@ class InteractiveRenderer:
     def _rebuild_shade_table(self):
         pack = self.ctx.accel_pack
         if pack is not None and pack.shade_table is not None:
-            table = jax.jit(build_shade_table)(self.scene, pack.accel)
+            from .render.shade_table import NUM_COLS
+
+            table = jax.jit(build_shade_table, static_argnames="textured")(
+                self.scene, pack.accel,
+                textured=pack.shade_table.shape[1] >= NUM_COLS,
+            )
             self.ctx = self.ctx.replace(
                 accel_pack=pack.replace(shade_table=table)
             )

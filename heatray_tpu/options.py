@@ -116,6 +116,9 @@ class RenderOptions:
     # QMC draws and shade intermediates are cheap to recompute and their
     # per-depth residuals otherwise OOM a 16 GB chip at 1080p.
     remat_bounces: bool = True
+    # Unroll the bounce loop instead of lax.scan (bounce counts are small
+    # and static; unrolling lets XLA specialize each depth).
+    unroll_bounces: bool = False
     # Trilinear mip sampling with ray-cone LOD (the reference's default
     # RL_LINEAR_MIPMAP_LINEAR samplers, ``Texture.h:51,86``); off = bilinear
     # level-0 only.

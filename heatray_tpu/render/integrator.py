@@ -183,11 +183,19 @@ def build_accel(
             if occl_accel is accel
             else pack_fn(occl_accel, tri_chunk=options.pallas_tri_chunk)
         )
+    # Surface AOVs read the texture-tail columns (UVs/tangents/tex ids), so
+    # debug renders always build the full table; the hot path gathers only
+    # the base columns for untextured scenes.
+    textured = scene.has_textures or options.aov != AOV.NONE
     return AccelPack(
         accel=accel,
         occl_accel=occl_accel,
         shade_table=(
-            jax.jit(build_shade_table)(scene, accel) if static_shading else None
+            jax.jit(build_shade_table, static_argnames="textured")(
+                scene, accel, textured=textured
+            )
+            if static_shading
+            else None
         ),
         bvh=bvh,
         bvh_occl=bvh_occl,
@@ -555,12 +563,14 @@ def render_pass(
             _occluder_accel(accel, scene) if scene.has_alpha_mask else accel
         )
         closest_fn, any_fn = _make_intersectors(accel, occl_accel, options)
-        shade_table = build_shade_table(scene, accel)
+        _textured = scene.has_textures or options.aov != AOV.NONE
+        shade_table = build_shade_table(scene, accel, textured=_textured)
     else:
+        _textured = scene.has_textures or options.aov != AOV.NONE
         shade_table = (
             pack.shade_table
             if pack.shade_table is not None
-            else build_shade_table(scene, pack.accel)
+            else build_shade_table(scene, pack.accel, textured=_textured)
         )
         if pack.backend in ("wide", "stream"):
             closest_fn, any_fn = _make_wide_intersectors(
@@ -618,8 +628,14 @@ def render_pass(
     # Surface-attribute AOVs short-circuit after the primary hit
     # (``physicallyBased.rlsl:159-203``).
     from .aov import SURFACE_AOVS, accum_visualize, compute_surface_aov
+    from .shade_table import NUM_COLS
 
     if options.aov in SURFACE_AOVS:
+        if shade_table.shape[1] < NUM_COLS:
+            # Pack was built for a non-AOV config (base columns only);
+            # surface AOVs read the texture tail — rebuild in-graph.
+            src_accel = pack.accel if pack is not None else accel
+            shade_table = build_shade_table(scene, src_accel, textured=True)
         t, tid, front, hit = closest_fn(org, direction, eps)
         rows = gather_rows(shade_table, jnp.maximum(tid, 0))
         _, b1, b2 = hit_attributes_rows(rows, org, direction, hit)
@@ -649,7 +665,14 @@ def render_pass(
             "wide" if _use_pallas(options, scene.geometry.num_triangles)
             else "xla"
         )
-        sort_mode = backend in ("wide", "stream", "bvh", "pallas")
+        # The sort burst (key + argsort + ~13 permutes of the carry) costs
+        # ~370 ms at 2M rays on v5e — XLA's gather pays ~14 ms per 2M-index
+        # take regardless of locality.  Sorted traversal saves ~150 ms per
+        # bounce on the 4k-triangle bench scene, so sorting only pays once
+        # traversal dominates: large scenes (the "stream" tier and big
+        # "wide" scenes).
+        big = scene.geometry.num_triangles >= 100_000
+        sort_mode = big and backend in ("wide", "stream", "bvh", "pallas")
     else:
         sort_mode = bool(options.sort_bounces)
     sort_on = sort_mode and options.max_ray_depth > 1
@@ -790,9 +813,13 @@ def render_pass(
         init, jnp.int32(1)
     )
     if options.max_ray_depth > 1:
-        depths = jnp.arange(2, options.max_ray_depth + 1, dtype=jnp.int32)
         body = maybe_ckpt(functools.partial(bounce, do_sort=sort_on))
-        carry, _ = jax.lax.scan(body, carry, depths)
+        if options.unroll_bounces:
+            for d in range(2, options.max_ray_depth + 1):
+                carry, _ = body(carry, jnp.int32(d))
+        else:
+            depths = jnp.arange(2, options.max_ray_depth + 1, dtype=jnp.int32)
+            carry, _ = jax.lax.scan(body, carry, depths)
     contrib, pix, ray_count = carry[5], carry[9], carry[10]
 
     with jax.named_scope("accumulate"):

@@ -28,6 +28,16 @@ _DIR1 = [
     0x88888888, 0xCCCCCCCC, 0xAAAAAAAA, 0xFFFFFFFF,
 ]
 
+# Superset-XOR (GF(2) zeta transform) steps for the SWAR form of the dim-1
+# generator-matrix multiply — see _sobol_dim1.
+_ZETA_STEPS = [
+    (1, 0x55555555),
+    (2, 0x33333333),
+    (4, 0x0F0F0F0F),
+    (8, 0x00FF00FF),
+    (16, 0x0000FFFF),
+]
+
 
 def _u32(x):
     return x.astype(jnp.uint32)
@@ -82,11 +92,23 @@ def _to_uint32(f):
 
 
 def _sobol_dim1(idx):
-    result = jnp.zeros_like(idx)
-    for bit, d in enumerate(_DIR1):
-        mask = (idx >> bit) & jnp.uint32(1)
-        result = result ^ (mask * jnp.uint32(d))
-    return result
+    """Dim-1 generator-matrix multiply as a 5-step SWAR zeta transform.
+
+    The direction numbers ``_DIR1`` are (bit-reversed) Pascal rows — by
+    Lucas, ``rev(_DIR1[b])`` bit j = [j subset-of b] — so the XOR of the
+    selected direction numbers equals the bit-reversed SUPERSET-XOR of the
+    index's bit positions: ``result = rev(zeta(idx))`` where
+    ``zeta(x)_j = XOR_{b superset-of j} x_b``.  The masked shift cascade
+    below is the standard word-parallel zeta over GF(2): ~15 int ops
+    instead of the naive 32-iteration/96-op loop (this is the hot path of
+    the on-the-fly QMC — 5 draws per bounce per ray).  Verified
+    bit-identical to the loop over the full u32 range structure (and
+    pinned by test_qmc's fly==table equality).
+    """
+    x = idx
+    for s, m in _ZETA_STEPS:
+        x = x ^ ((x >> s) & jnp.uint32(m))
+    return _reverse_bits(x)
 
 
 def sobol_value(sequence_index, sample_index, num_sequences: int, length: int):

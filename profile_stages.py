@@ -81,12 +81,18 @@ if BACKEND == "wide":
     from heatray_tpu.ops.wide_bvh import intersect_any_wide, intersect_closest_wide
 
     rt = options.wide_ray_tile
+    prec = (
+        "bf16x3" if options.wide_precision == "bf16x3"
+        else jax.lax.Precision.HIGHEST
+    )
     closest = jax.jit(
-        lambda o, d: intersect_closest_wide(pack.wide, o, d, ray_tile=rt)
+        lambda o, d: intersect_closest_wide(
+            pack.wide, o, d, ray_tile=rt, precision=prec
+        )
     )
     anyhit = jax.jit(
         lambda o, d: intersect_any_wide(
-            pack.wide_occl, o, d, t_max=10.0, ray_tile=rt
+            pack.wide_occl, o, d, t_max=10.0, ray_tile=rt, precision=prec
         )
     )
 else:

@@ -27,18 +27,26 @@ OUT = "SCALING_r03.json"
 
 
 def _timed_passes(run, n=4):
-    import jax
-    import numpy as np
+    """Returns (wall seconds/pass, process-CPU seconds/pass).
 
+    On a machine with fewer physical cores than virtual devices the wall
+    number under-reports scaling (devices timeshare cores); the CPU-seconds
+    number is core-count independent: with perfect partitioning total
+    CPU-seconds per pass stays FLAT as the mesh grows, so
+    eff_cpu = cpu(1) / cpu(N) isolates partitioning/communication overhead.
+    """
     run(0)  # compile
     t0 = time.time()
     run(1)
     t1 = time.time() - t0
+    c0 = os.times()
     t0 = time.time()
     for i in range(n):
         run(2 + i)
     tn = (time.time() - t0) / n
-    return min(t1, tn)
+    c1 = os.times()
+    cpu = (c1.user + c1.system - c0.user - c0.system) / n
+    return min(t1, tn), cpu
 
 
 def bench_cpu() -> dict:
@@ -73,8 +81,20 @@ def bench_cpu() -> dict:
     camera = orbit_camera(w, h, distance=6.2, focal_length_mm=35.0)
     ctx0 = make_context(options, scene)
 
-    results = {"config": f"cornell {w}x{h} depth {depth}, cpu virtual mesh"}
+    import multiprocessing
+
+    cores = multiprocessing.cpu_count()
+    results = {
+        "config": f"cornell {w}x{h} depth {depth}, cpu virtual mesh",
+        "physical_cores": cores,
+        "note": (
+            "wall efficiency is bounded by physical cores when the mesh "
+            "oversubscribes them; cpu-seconds efficiency isolates "
+            "partitioning overhead (flat total = perfect)"
+        ),
+    }
     dp_times = {}
+    dp_cpu = {}
     for n in (1, 2, 4, 8):
         mesh = make_mesh(n)
         sc = replicate(scene, mesh)
@@ -86,14 +106,22 @@ def bench_cpu() -> dict:
             a = render_pass(sc, cam, ctx, options, FrameGlobals.create(i), accum)
             jax.block_until_ready(a)
 
-        dt = _timed_passes(run)
+        dt, cpu = _timed_passes(run)
         dp_times[n] = dt
+        dp_cpu[n] = cpu
         eff = dp_times[1] / (n * dt)
+        eff_cpu = dp_cpu[1] / max(cpu, 1e-9)
         results[f"dp{n}"] = {
             "pass_ms": round(dt * 1e3, 1),
-            "efficiency": round(eff, 3),
+            "cpu_s_per_pass": round(cpu, 3),
+            "wall_efficiency": round(eff, 3),
+            "cpu_efficiency": round(eff_cpu, 3),
         }
-        print(f"dp={n}: {dt*1e3:.1f} ms/pass  eff={eff:.2f}", file=sys.stderr)
+        print(
+            f"dp={n}: {dt*1e3:.1f} ms/pass  cpu {cpu:.2f}s  "
+            f"eff_wall={eff:.2f} eff_cpu={eff_cpu:.2f}",
+            file=sys.stderr,
+        )
 
     # sp x dp 4x2: 8 passes land as 2 rounds of 4 concurrent slices.
     mesh2 = make_mesh_2d(4, 2)
