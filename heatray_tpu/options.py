@@ -51,6 +51,11 @@ class RenderOptions:
 
     width: int = 512
     height: int = 512
+    # Full-image height when this options object describes ONE shard of a
+    # row-partitioned image (shard_map over pixel rows): the camera mapping
+    # and per-pixel angular sizes use the full image; ``height`` is the
+    # shard's local row count.  None = height (unsharded).
+    image_height: int | None = None
     max_render_passes: int = 32  # ``PassGenerator.h:62``
     max_ray_depth: int = 10  # ``PassGenerator.h:63``
     # Interactive 3x3 block mode (``PassGenerator.h:50-59``,
@@ -140,11 +145,16 @@ class FrameGlobals:
 
     sample_index: jnp.ndarray  # () i32, 0 .. max_render_passes-1
     max_channel_value: jnp.ndarray  # () f32 firefly clamp (``accumulator.rlsl:24``)
+    # Global row index of this shard's row 0 (0 unless rendering one shard
+    # of a row-partitioned image inside shard_map).
+    row_offset: jnp.ndarray = None  # () i32
 
     @classmethod
-    def create(cls, sample_index: int = 0, max_channel_value: float = 3.14159265):
+    def create(cls, sample_index: int = 0, max_channel_value: float = 3.14159265,
+               row_offset=0):
         # Default clamp is pi (``PassGenerator.h:64``).
         return cls(
             sample_index=jnp.int32(sample_index),
             max_channel_value=jnp.float32(max_channel_value),
+            row_offset=jnp.int32(row_offset),
         )

@@ -126,6 +126,76 @@ def sharded_accum(options: RenderOptions, mesh: Mesh, axis: str = "dp"):
     )
 
 
+def _local_options(options: RenderOptions, n: int) -> RenderOptions:
+    """Per-shard options: local row count, full-image camera mapping."""
+    import dataclasses
+
+    assert options.height % n == 0, (
+        f"image rows ({options.height}) must divide the mesh ({n})"
+    )
+    return dataclasses.replace(
+        options,
+        height=options.height // n,
+        image_height=options.image_height or options.height,
+    )
+
+
+def make_sharded_pass(
+    scene: Scene,
+    camera: CameraParams,
+    ctx: RenderContext,
+    options: RenderOptions,
+    mesh: Mesh,
+    axis: str = "dp",
+):
+    """Jitted one-pass function with pixel rows EXPLICITLY partitioned via
+    ``shard_map``: each device runs the full single-device ``render_pass``
+    on its own row slice (scene/accel replicated; per-pixel tables and the
+    accumulation row-sharded; zero communication in the forward pass).
+
+    Explicit shard_map, not GSPMD propagation: measured on the virtual CPU
+    mesh, GSPMD replicated the whole pass per device (CPU-seconds scaled
+    with N — the intersector's lax.map-over-ray-blocks defeats the
+    partitioner), so sharding was correct but not parallel.
+
+    Returns ``pass_fn(tables_sid, tables_soff, accum, frame) -> accum``.
+    """
+    n = mesh.shape[axis]
+    local_opts = _local_options(options, n)
+    local_h = local_opts.height
+    # Don't close over the (sharded) full-image pixel tables — they arrive
+    # as shard_map operands; the closure keeps only replicated leaves.
+    dummy = jnp.zeros((1, 1), ctx.tables.pixel_sequence_id.dtype)
+    ctx_base = ctx.replace(
+        tables=ctx.tables.replace(
+            pixel_sequence_id=dummy, pixel_sequence_offset=dummy
+        )
+    )
+
+    def body(sid_rows, soff_rows, accum_rows, frame: FrameGlobals):
+        row_off = jax.lax.axis_index(axis) * local_h
+        tables = ctx_base.tables.replace(
+            pixel_sequence_id=sid_rows, pixel_sequence_offset=soff_rows
+        )
+        ctx_local = ctx_base.replace(tables=tables)
+        frame = frame.replace(row_offset=jnp.int32(row_off))
+        return render_pass(
+            scene, camera, ctx_local, local_opts, frame, accum_rows
+        )
+
+    spec_rows = P(axis, None)
+    spec_img = P(None, axis, None)
+    return jax.jit(
+        jax.shard_map(
+            body,
+            mesh=mesh,
+            in_specs=(spec_rows, spec_rows, spec_img, P()),
+            out_specs=spec_img,
+            check_vma=False,
+        )
+    )
+
+
 def render_sharded(
     scene: Scene,
     camera: CameraParams,
@@ -136,22 +206,18 @@ def render_sharded(
     max_channel_value: float = 3.14159265,
     axis: str = "dp",
 ):
-    """Progressive render with pixel rows sharded over ``mesh``.
-
-    The jitted pass function is the same single-device ``render_pass`` —
-    GSPMD partitions it from the input shardings (scene replicated, accum +
-    pixel tables row-sharded).
-    """
-    assert options.height % mesh.devices.size == 0, (
-        "image rows must divide evenly over the mesh"
-    )
+    """Progressive render with pixel rows sharded over ``mesh`` (see
+    ``make_sharded_pass``)."""
     scene = replicate(scene, mesh)
     camera = replicate(camera, mesh)
     ctx = shard_context(ctx, mesh, axis)
     accum = sharded_accum(options, mesh, axis)
+    pass_fn = make_sharded_pass(scene, camera, ctx, options, mesh, axis)
+    sid = ctx.tables.pixel_sequence_id
+    soff = ctx.tables.pixel_sequence_offset
     for i in range(num_passes):
         frame = FrameGlobals.create(i, max_channel_value)
-        accum = render_pass(scene, camera, ctx, options, frame, accum)
+        accum = pass_fn(sid, soff, accum, frame)
     return accum
 
 
@@ -182,11 +248,44 @@ def make_sharded_train_step(
     target = jnp.transpose(jnp.asarray(target, jnp.float32), (2, 0, 1))
     target = jax.device_put(target, NamedSharding(mesh, P(None, axis)))
     accum0 = sharded_accum(options, mesh, axis)
+    n = mesh.shape[axis]
+    local_opts = _local_options(options, n)
+    local_h = local_opts.height
+    sid = ctx.tables.pixel_sequence_id
+    soff = ctx.tables.pixel_sequence_offset
+    dummy = jnp.zeros((1, 1), sid.dtype)
+    ctx_base = ctx.replace(
+        tables=ctx.tables.replace(
+            pixel_sequence_id=dummy, pixel_sequence_offset=dummy
+        )
+    )
+    spec_rows = P(axis, None)
+    spec_img = P(None, axis, None)
 
     def loss_fn(params, sample_index):
         s = apply_material_params(scene, params)
-        frame = FrameGlobals.create(sample_index)
-        accum = render_pass(s, camera, ctx, options, frame, accum0)
+        frame0 = FrameGlobals.create(0).replace(
+            sample_index=jnp.int32(sample_index)
+        )
+
+        # The traced scene-with-params is closed over: shard_map treats it
+        # as replicated, and its parameter cotangents psum over the mesh in
+        # the backward pass.
+        def body(sid_rows, soff_rows, accum_rows, frame):
+            row_off = jax.lax.axis_index(axis) * local_h
+            tables = ctx_base.tables.replace(
+                pixel_sequence_id=sid_rows, pixel_sequence_offset=soff_rows
+            )
+            return render_pass(
+                s, camera, ctx_base.replace(tables=tables), local_opts,
+                frame.replace(row_offset=jnp.int32(row_off)), accum_rows,
+            )
+
+        accum = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(spec_rows, spec_rows, spec_img, P()),
+            out_specs=spec_img, check_vma=False,
+        )(sid, soff, accum0, frame0)
         img = accum[:3] / jnp.maximum(accum[3:], 1.0)
         return jnp.mean((img - target) ** 2)
 
@@ -208,11 +307,11 @@ def make_sharded_train_step(
 
 
 def _sp_accum(options: RenderOptions, mesh: Mesh):
-    """Zero (S, 4, H, W) per-slice accumulation, sp x row sharded."""
+    """Zero (S, 4, H, W) per-slice accumulation, sp x pixel-row sharded."""
     s = mesh.shape["sp"]
     return jax.device_put(
         jnp.zeros((s, 4, options.height, options.width), jnp.float32),
-        NamedSharding(mesh, P("sp", None, None, "dp")),
+        NamedSharding(mesh, P("sp", None, "dp", None)),
     )
 
 
@@ -225,15 +324,18 @@ def render_sharded_2d(
     num_passes: int,
     max_channel_value: float = 3.14159265,
 ):
-    """Progressive render over a 2D ``('sp', 'dp')`` mesh.
+    """Progressive render over a 2D ``('sp', 'dp')`` mesh, shard_map'd.
 
     Pass indices interleave across the sp axis (slice k traces passes
     k, k+S, ...), every slice keeps its own row-sharded accumulation, and
     ONE reduction over sp at the end merges them — the sample-parallel
     axis the reference expresses serially (``PassGenerator.cpp:346-400``).
-    Returns the merged (4, H, W) accumulation (row-sharded over dp).
+    Each (sp, dp) shard runs the single-device ``render_pass`` on its own
+    pass index and pixel rows.  Returns the merged (4, H, W) accumulation
+    (row-sharded over dp).
     """
     s = mesh.shape["sp"]
+    ndp = mesh.shape["dp"]
     assert num_passes % s == 0, (
         f"num_passes ({num_passes}) must divide over the sp axis ({s})"
     )
@@ -241,27 +343,49 @@ def render_sharded_2d(
     camera = replicate(camera, mesh)
     ctx = shard_context(ctx, mesh)
     accum = _sp_accum(options, mesh)
-
-    @jax.jit
-    def round_fn(accum, idxs):
-        def one(idx, acc):
-            frame = FrameGlobals.create(idx, max_channel_value)
-            return render_pass(scene, camera, ctx, options, frame, acc)
-
-        return jax.vmap(one)(idxs, accum)
-
-    sp_sharding = NamedSharding(mesh, P("sp"))
-    for r in range(num_passes // s):
-        idxs = jax.device_put(
-            r * s + jnp.arange(s, dtype=jnp.int32), sp_sharding
+    local_opts = _local_options(options, ndp)
+    local_h = local_opts.height
+    sid = ctx.tables.pixel_sequence_id
+    soff = ctx.tables.pixel_sequence_offset
+    dummy = jnp.zeros((1, 1), sid.dtype)
+    ctx_base = ctx.replace(
+        tables=ctx.tables.replace(
+            pixel_sequence_id=dummy, pixel_sequence_offset=dummy
         )
-        accum = round_fn(accum, idxs)
+    )
+
+    def body(sid_rows, soff_rows, accum_slice, base):
+        row_off = jax.lax.axis_index("dp") * local_h
+        idx = base + jax.lax.axis_index("sp")
+        tables = ctx_base.tables.replace(
+            pixel_sequence_id=sid_rows, pixel_sequence_offset=soff_rows
+        )
+        frame = FrameGlobals.create(0, max_channel_value).replace(
+            sample_index=jnp.int32(idx), row_offset=jnp.int32(row_off)
+        )
+        a = render_pass(
+            scene, camera, ctx_base.replace(tables=tables), local_opts,
+            frame, accum_slice[0],
+        )
+        return a[None]
+
+    round_fn = jax.jit(
+        jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("dp", None), P("dp", None),
+                      P("sp", None, "dp", None), P()),
+            out_specs=P("sp", None, "dp", None),
+            check_vma=False,
+        )
+    )
+    for r in range(num_passes // s):
+        accum = round_fn(sid, soff, accum, jnp.int32(r * s))
 
     @jax.jit
     def merge(accum):
         total = jnp.sum(accum, axis=0)  # ONE psum over sp
         return jax.lax.with_sharding_constraint(
-            total, NamedSharding(mesh, P(None, None, "dp"))
+            total, NamedSharding(mesh, P(None, "dp", None))
         )
 
     return merge(accum)
@@ -286,27 +410,51 @@ def make_sharded_train_step_2d(
     from ..diff.inverse import apply_material_params
 
     s = mesh.shape["sp"]
+    ndp = mesh.shape["dp"]
     scene = replicate(scene, mesh)
     camera = replicate(camera, mesh)
     ctx = shard_context(ctx, mesh)
     target = jnp.transpose(jnp.asarray(target, jnp.float32), (2, 0, 1))
     target = jax.device_put(
-        target, NamedSharding(mesh, P(None, None, "dp"))
+        target, NamedSharding(mesh, P(None, "dp", None))
     )
     accum0 = _sp_accum(options, mesh)
-    sp_sharding = NamedSharding(mesh, P("sp"))
+    local_opts = _local_options(options, ndp)
+    local_h = local_opts.height
+    sid = ctx.tables.pixel_sequence_id
+    soff = ctx.tables.pixel_sequence_offset
+    dummy = jnp.zeros((1, 1), sid.dtype)
+    ctx_base = ctx.replace(
+        tables=ctx.tables.replace(
+            pixel_sequence_id=dummy, pixel_sequence_offset=dummy
+        )
+    )
 
     def loss_fn(params, sample_index):
         sc = apply_material_params(scene, params)
 
-        def one(idx, acc):
-            frame = FrameGlobals.create(sample_index * s + idx)
-            return render_pass(sc, camera, ctx, options, frame, acc)
+        def body(sid_rows, soff_rows, accum_slice, base):
+            row_off = jax.lax.axis_index("dp") * local_h
+            idx = base * s + jax.lax.axis_index("sp")
+            tables = ctx_base.tables.replace(
+                pixel_sequence_id=sid_rows, pixel_sequence_offset=soff_rows
+            )
+            frame = FrameGlobals.create(0).replace(
+                sample_index=jnp.int32(idx), row_offset=jnp.int32(row_off)
+            )
+            a = render_pass(
+                sc, camera, ctx_base.replace(tables=tables), local_opts,
+                frame, accum_slice[0],
+            )
+            return a[None]
 
-        idxs = jax.lax.with_sharding_constraint(
-            jnp.arange(s, dtype=jnp.int32), sp_sharding
-        )
-        accum = jax.vmap(one)(idxs, accum0)
+        accum = jax.shard_map(
+            body, mesh=mesh,
+            in_specs=(P("dp", None), P("dp", None),
+                      P("sp", None, "dp", None), P()),
+            out_specs=P("sp", None, "dp", None),
+            check_vma=False,
+        )(sid, soff, accum0, jnp.int32(sample_index))
         total = jnp.sum(accum, axis=0)
         img = total[:3] / jnp.maximum(total[3:], 1.0)
         return jnp.mean((img - target) ** 2)

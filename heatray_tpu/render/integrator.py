@@ -243,20 +243,29 @@ def generate_primary_rays(
     tables: SampleTables,
     options: RenderOptions,
     sample_index,
+    row_offset=0,
 ):
     """Camera ray generation, porting ``perspective.rlsl:59-93`` (pixel
-    jitter from the pixel's QMC stream, thin-lens aperture offset)."""
+    jitter from the pixel's QMC stream, thin-lens aperture offset).
+
+    ``row_offset`` (traced scalar) is this shard's global row of the
+    row-partitioned image; camera v-mapping always uses the FULL height.
+    """
     h, w = options.height, options.width
+    full_h = options.image_height or options.height
     seq_id = tables.pixel_sequence_id.reshape(-1)
     seq_off = tables.pixel_sequence_offset.reshape(-1)
 
     px = jnp.tile(jnp.arange(w, dtype=jnp.float32), h)
-    py = jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
+    py = (
+        jnp.repeat(jnp.arange(h, dtype=jnp.float32), w)
+        + jnp.asarray(row_offset, jnp.float32)
+    )
 
     seq_lookup = make_sequence_lookup(tables, options.sample_mode)
     ju, jv = seq_lookup(seq_id, sample_index + seq_off)
     u = (px + ju) / w
-    v = (py + jv) / h
+    v = (py + jv) / full_h
 
     # Image-plane direction in camera space (1 unit in front of the camera).
     # ``perspective.rlsl:72-74``: y = (1 - 2v) * fovTan * -1 — row 0 is the
@@ -594,9 +603,12 @@ def render_pass(
         block = None
         sample_index = frame.sample_index
 
+    row_offset = (
+        frame.row_offset if frame.row_offset is not None else jnp.int32(0)
+    )
     with jax.named_scope("raygen"):
         org, direction, seq_id, seq_off = generate_primary_rays(
-            camera, ctx.tables, options, sample_index
+            camera, ctx.tables, options, sample_index, row_offset=row_offset
         )
     r = h * w
     # 2D wavefront: (R/lane, lane) tiles the VPU fully (flat (R,) arrays
@@ -616,8 +628,12 @@ def render_pass(
     if block is not None:
         # Select the pixels at the current 3x3 block coordinate
         # (``perspective.rlsl:42-57``); everyone else is parked (culled).
+        # Block coordinates are GLOBAL rows (row_offset for sharded images).
         px = jnp.tile(jnp.arange(w, dtype=jnp.int32), h).reshape(shape2)
-        py = jnp.repeat(jnp.arange(h, dtype=jnp.int32), w).reshape(shape2)
+        py = (
+            jnp.repeat(jnp.arange(h, dtype=jnp.int32), w).reshape(shape2)
+            + row_offset
+        )
         selected = (jnp.remainder(px, 3) == jnp.remainder(block, 3)) & (
             jnp.remainder(py, 3) == block // 3
         )
@@ -657,7 +673,9 @@ def render_pass(
     # Ray-cone mip LOD: per-pixel angular width; the cone grows linearly
     # with accumulated path length (distance-based LOD).
     use_cone = options.use_mipmaps and scene.has_textures
-    pixel_cone = 2.0 * camera.fov_tan / jnp.float32(h)
+    pixel_cone = 2.0 * camera.fov_tan / jnp.float32(
+        options.image_height or options.height
+    )
 
     # Scene bounds for the wavefront sort key (piecewise-constant: detached).
     if options.sort_bounces == "auto":

@@ -52,9 +52,11 @@ def _timed_passes(run, n=4):
 def bench_cpu() -> dict:
     import jax
 
+    # This box force-registers the remote-TPU platform via sitecustomize;
+    # env vars alone do not override it.
+    jax.config.update("jax_platforms", "cpu")
     assert jax.default_backend() == "cpu", (
-        "run with JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_"
-        "device_count=8"
+        "run with XLA_FLAGS=--xla_force_host_platform_device_count=8"
     )
     import jax.numpy as jnp
     import numpy as np
@@ -72,7 +74,7 @@ def bench_cpu() -> dict:
     from heatray_tpu.render.integrator import make_context, render_pass
     from heatray_tpu.scene.builtin import cornell_box
 
-    w = h = 512
+    w = h = 256
     depth = 2
     options = RenderOptions(
         width=w, height=h, max_render_passes=16, max_ray_depth=depth
