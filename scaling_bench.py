@@ -66,6 +66,7 @@ def bench_cpu() -> dict:
     from heatray_tpu.parallel.sharding import (
         make_mesh,
         make_mesh_2d,
+        make_sharded_pass,
         render_sharded_2d,
         replicate,
         shard_context,
@@ -103,9 +104,12 @@ def bench_cpu() -> dict:
         cam = replicate(camera, mesh)
         ctx = shard_context(ctx0, mesh)
         accum = sharded_accum(options, mesh)
+        pass_fn = make_sharded_pass(sc, cam, ctx, options, mesh)
+        sid = ctx.tables.pixel_sequence_id
+        soff = ctx.tables.pixel_sequence_offset
 
-        def run(i, accum=accum, sc=sc, cam=cam, ctx=ctx):
-            a = render_pass(sc, cam, ctx, options, FrameGlobals.create(i), accum)
+        def run(i, accum=accum, pass_fn=pass_fn, sid=sid, soff=soff):
+            a = pass_fn(sid, soff, accum, FrameGlobals.create(i))
             jax.block_until_ready(a)
 
         dt, cpu = _timed_passes(run)
