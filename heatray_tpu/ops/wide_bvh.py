@@ -588,7 +588,7 @@ def _any_kernel_t(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_tile", "t_min", "interpret")
+    jax.jit, static_argnames=("ray_tile", "t_min", "interpret", "return_slots")
 )
 def intersect_closest_vpu(
     bvh: WideBVH,
@@ -597,6 +597,7 @@ def intersect_closest_vpu(
     t_min: float = 1e-4,
     ray_tile: int = RAY_TILE,
     interpret: bool = False,
+    return_slots: bool = False,
 ):
     """Closest-hit wide-BVH traversal, transposed layout + VPU leaf math
     (exact f32; the fast path).  Requires ``bvh.leaf_size % 128 == 0``."""
@@ -632,6 +633,8 @@ def intersect_closest_vpu(
     best_t = best_t[0, :r]
     best_slot = best_slot[0, :r]
     hit = best_slot >= 0
+    if return_slots:
+        return jnp.where(hit, best_t, MISS_T), best_slot, hit
     tri = jnp.take(bvh.slot_tri, jnp.maximum(best_slot, 0))
     tri = jnp.where(hit, tri, -1)
     return jnp.where(hit, best_t, MISS_T), tri, hit
@@ -870,7 +873,9 @@ def _any_stream_kernel(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_tile", "t_min", "precision", "interpret")
+    jax.jit,
+    static_argnames=("ray_tile", "t_min", "precision", "interpret",
+                     "return_slots"),
 )
 def intersect_closest_stream(
     bvh: WideBVH,
@@ -880,6 +885,7 @@ def intersect_closest_stream(
     ray_tile: int = RAY_TILE,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    return_slots: bool = False,
 ):
     """Closest-hit wide-BVH traversal with HBM-resident leaf data."""
     tc = bvh.leaf_size
@@ -915,6 +921,8 @@ def intersect_closest_stream(
     best_t = best_t[0, :r]
     best_slot = best_slot[0, :r]
     hit = best_slot >= 0
+    if return_slots:
+        return jnp.where(hit, best_t, MISS_T), best_slot, hit
     tri = jnp.take(bvh.slot_tri, jnp.maximum(best_slot, 0))
     tri = jnp.where(hit, tri, -1)
     return jnp.where(hit, best_t, MISS_T), tri, hit
@@ -968,7 +976,9 @@ def intersect_any_stream(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_tile", "t_min", "precision", "interpret")
+    jax.jit,
+    static_argnames=("ray_tile", "t_min", "precision", "interpret",
+                     "return_slots"),
 )
 def intersect_closest_wide(
     bvh: WideBVH,
@@ -978,9 +988,15 @@ def intersect_closest_wide(
     ray_tile: int = RAY_TILE,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    return_slots: bool = False,
 ):
-    """Closest-hit wide-BVH traversal.  Returns (t, tri_id, hit) with
-    original triangle ids (padding resolved through ``bvh.slot_tri``)."""
+    """Closest-hit wide-BVH traversal.  Returns (t, id, hit).
+
+    ``return_slots=False``: ids are original triangle ids (resolved through
+    ``bvh.slot_tri`` — one extra (R,)-sized gather).  ``return_slots=True``:
+    ids are raw chunk-slot ids (``chunk * leaf_size + sub``) for consumers
+    holding slot-ordered side tables (the integrator's shade table) — this
+    keeps the hot path free of any per-ray id translation."""
     tc = bvh.leaf_size
     rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
 
@@ -1012,6 +1028,8 @@ def intersect_closest_wide(
     best_t = best_t[0, :r]
     best_slot = best_slot[0, :r]
     hit = best_slot >= 0
+    if return_slots:
+        return jnp.where(hit, best_t, MISS_T), best_slot, hit
     tri = jnp.take(bvh.slot_tri, jnp.maximum(best_slot, 0))
     tri = jnp.where(hit, tri, -1)
     return jnp.where(hit, best_t, MISS_T), tri, hit

@@ -27,7 +27,6 @@ from ..ops.bvh import BVH, build_bvh
 from ..ops.intersect import (
     WoopAccel,
     build_woop,
-    gather_geo_normal,
     intersect_any,
     intersect_closest,
 )
@@ -80,6 +79,11 @@ class AccelPack:
     # (T, NUM_COLS) or None: inverse rendering over materials needs the
     # table rebuilt in-graph (it bakes material parameters), while geometry
     # stays accelerated — build with ``static_shading=False`` for that.
+    # For the wide/stream backends the table is SLOT-ordered (row i = BVH
+    # chunk-slot i, zero rows for padding slots) so the traversal kernels'
+    # raw slot ids index it directly — no per-ray id translation (a flat
+    # (R,)-sized gather, ~15 ms per bounce at 1080p) anywhere on the hot
+    # path.
     shade_table: jnp.ndarray | None
     bvh: BVH | None
     bvh_occl: BVH | None
@@ -119,6 +123,15 @@ def _select_backend(options: RenderOptions, num_triangles: int) -> str:
         "wide-BVH backend", num_triangles,
     )
     return "stream"
+
+
+def _slot_order_table(table: jnp.ndarray, slot_tri: jnp.ndarray) -> jnp.ndarray:
+    """Reorder a (T, K) tri-ordered shade table into wide-BVH chunk-slot
+    order ((S, K), S = chunks * leaf_size; padding slots get zero rows) so
+    raw kernel slot ids index it directly."""
+    safe = jnp.maximum(slot_tri, 0)
+    rows = jnp.take(table, safe, axis=0)
+    return rows * (slot_tri >= 0).astype(table.dtype)[:, None]
 
 
 def build_accel(
@@ -187,12 +200,19 @@ def build_accel(
     # debug renders always build the full table; the hot path gathers only
     # the base columns for untextured scenes.
     textured = scene.has_textures or options.aov != AOV.NONE
+
+    def _build_table(scene, accel, slot_tri):
+        table = build_shade_table(scene, accel, textured=textured)
+        if slot_tri is not None:
+            table = _slot_order_table(table, slot_tri)
+        return table
+
     return AccelPack(
         accel=accel,
         occl_accel=occl_accel,
         shade_table=(
-            jax.jit(build_shade_table, static_argnames="textured")(
-                scene, accel, textured=textured
+            jax.jit(_build_table)(
+                scene, accel, wide.slot_tri if wide is not None else None
             )
             if static_shading
             else None
@@ -372,7 +392,11 @@ def _make_wide_intersectors(
     pack: AccelPack, options: RenderOptions, stream: bool = False
 ):
     """(closest, any) over the prebuilt arity-8 BVH traversal kernels
-    (``stream=True``: the HBM-resident-leaf variants for large scenes)."""
+    (``stream=True``: the HBM-resident-leaf variants for large scenes).
+
+    ``closest`` returns (t, slot_id, hit): SLOT ids, matching the
+    slot-ordered shade table (see ``_slot_order_table``) — facingness and
+    geometry attributes come from the one fat row-gather downstream."""
     rt = options.wide_ray_tile
     prec = (
         "bf16x3"
@@ -389,12 +413,10 @@ def _make_wide_intersectors(
         closest_k, any_k = intersect_closest_wide, intersect_any_wide
 
     def closest(org, direction, t_min):
-        t, tid, hit = closest_k(
-            pack.wide, org, direction, t_min=t_min, ray_tile=rt, **kw
+        return closest_k(
+            pack.wide, org, direction, t_min=t_min, ray_tile=rt,
+            return_slots=True, **kw,
         )
-        n = gather_geo_normal(pack.accel, jnp.maximum(tid, 0))
-        front = direction.dot(n) < 0.0
-        return t, tid, front, hit
 
     def any_hit(org, direction, t_min, t_max):
         return any_k(
@@ -410,12 +432,9 @@ def _make_bvh_intersectors(pack: AccelPack, options: RenderOptions):
     rt = options.pallas_ray_tile
 
     def closest(org, direction, t_min):
-        t, tid, hit = intersect_closest_bvh(
+        return intersect_closest_bvh(
             pack.bvh, org, direction, t_min=t_min, ray_tile=rt
         )
-        n = gather_geo_normal(pack.accel, jnp.maximum(tid, 0))
-        front = direction.dot(n) < 0.0
-        return t, tid, front, hit
 
     def any_hit(org, direction, t_min, t_max):
         return intersect_any_bvh(
@@ -431,12 +450,9 @@ def _make_packed_intersectors(pack: AccelPack, options: RenderOptions):
     rt = options.pallas_ray_tile
 
     def closest(org, direction, t_min):
-        t, tid, hit = intersect_closest_pallas(
+        return intersect_closest_pallas(
             pack.packed, org, direction, t_min=t_min, ray_tile=rt
         )
-        n = gather_geo_normal(pack.accel, jnp.maximum(tid, 0))
-        front = direction.dot(n) < 0.0
-        return t, tid, front, hit
 
     def any_hit(org, direction, t_min, t_max):
         return intersect_any_pallas(
@@ -448,7 +464,8 @@ def _make_packed_intersectors(pack: AccelPack, options: RenderOptions):
 
 
 def _make_intersectors(accel, occl_accel, options: RenderOptions):
-    """Returns (closest, any) callables with a uniform signature."""
+    """Returns (closest, any) callables with a uniform (t, id, hit)
+    contract (facingness is derived downstream from the gathered rows)."""
     if _use_pallas(options, accel.w.shape[1]):
         tc, rt = options.pallas_tri_chunk, options.pallas_ray_tile
         packed = pack_for_pallas(accel, tri_chunk=tc)
@@ -459,13 +476,9 @@ def _make_intersectors(accel, occl_accel, options: RenderOptions):
         )
 
         def closest(org, direction, t_min):
-            t, tid, hit = intersect_closest_pallas(
+            return intersect_closest_pallas(
                 packed, org, direction, t_min=t_min, ray_tile=rt
             )
-            # Front-facing = approaching against the geometric normal.
-            n = gather_geo_normal(accel, tid)
-            front = direction.dot(n) < 0.0
-            return t, tid, front, hit
 
         def any_hit(org, direction, t_min, t_max):
             return intersect_any_pallas(
@@ -476,10 +489,11 @@ def _make_intersectors(accel, occl_accel, options: RenderOptions):
     else:
 
         def closest(org, direction, t_min):
-            return intersect_closest(
+            t, tid, front, hit = intersect_closest(
                 accel, org, direction, t_min=t_min,
                 tri_chunk=options.tri_chunk, ray_block=options.ray_block,
             )
+            return t, tid, hit
 
         def any_hit(org, direction, t_min, t_max):
             return intersect_any(
@@ -576,11 +590,18 @@ def render_pass(
         shade_table = build_shade_table(scene, accel, textured=_textured)
     else:
         _textured = scene.has_textures or options.aov != AOV.NONE
-        shade_table = (
-            pack.shade_table
-            if pack.shade_table is not None
-            else build_shade_table(scene, pack.accel, textured=_textured)
-        )
+        if pack.shade_table is not None:
+            shade_table = pack.shade_table
+        else:
+            # In-graph rebuild (differentiable materials): match the
+            # backend's id space — slot order for the wide kernels.
+            shade_table = build_shade_table(
+                scene, pack.accel, textured=_textured
+            )
+            if pack.backend in ("wide", "stream"):
+                shade_table = _slot_order_table(
+                    shade_table, pack.wide.slot_tri
+                )
         if pack.backend in ("wide", "stream"):
             closest_fn, any_fn = _make_wide_intersectors(
                 pack, options, stream=pack.backend == "stream"
@@ -652,8 +673,13 @@ def render_pass(
             # surface AOVs read the texture tail — rebuild in-graph.
             src_accel = pack.accel if pack is not None else accel
             shade_table = build_shade_table(scene, src_accel, textured=True)
-        t, tid, front, hit = closest_fn(org, direction, eps)
+            if pack is not None and pack.backend in ("wide", "stream"):
+                shade_table = _slot_order_table(
+                    shade_table, pack.wide.slot_tri
+                )
+        t, tid, hit = closest_fn(org, direction, eps)
         rows = gather_rows(shade_table, jnp.maximum(tid, 0))
+        front = direction.dot(rows.vec(GEO_N)) < 0.0
         _, b1, b2 = hit_attributes_rows(rows, org, direction, hit)
         value = compute_surface_aov(
             scene, options.aov, rows, b1, b2, front, hit
@@ -724,7 +750,7 @@ def render_pass(
         # Stage names surface in xprof traces (--trace / jax.profiler),
         # the per-stage breakdown SURVEY section 5 asks for.
         with jax.named_scope("traverse_closest"):
-            t, tid, front, hit = closest_fn(org, direction, eps)
+            t, tid, hit = closest_fn(org, direction, eps)
         hit = hit & active
 
         # Miss: environment (only for rays whose default primitive is the
@@ -736,8 +762,12 @@ def render_pass(
         # ONE fat row gather per bounce fetches everything shading needs
         # (see shade_table.py); differentiable hit attributes re-evaluate
         # from the gathered Woop rows; sanitize t for dead lanes so no
-        # NaN/Inf flows through the masked math.
+        # NaN/Inf flows through the masked math.  Facingness comes from the
+        # gathered geometric normal (approaching against it = front) — the
+        # kernels return bare (t, id, hit) so no extra per-ray gathers run
+        # inside the traversal stage.
         rows = gather_rows(shade_table, jnp.maximum(tid, 0))
+        front = direction.dot(rows.vec(GEO_N)) < 0.0
         t_d, b1, b2 = hit_attributes_rows(rows, org, direction, hit)
         t_sane = jnp.where(hit, t_d, 1.0)
         path_len = path_len + jnp.where(hit, t_sane, 0.0)
