@@ -173,6 +173,11 @@ def _pair_hits(
                                  precision=precision)
         pd = jax.lax.dot_general(wm, d_feat, dims, preferred_element_type=jnp.float32,
                                  precision=precision)
+    return _pair_tail(po, pd, tc, t_min, t_max_row)
+
+
+def _pair_tail(po, pd, tc, t_min, t_max_row):
+    """Shared tail of the pair test: (3Tc, Rt) affine products -> masked t."""
     ob1, ob2, os_ = po[:tc], po[tc : 2 * tc], po[2 * tc :]
     db1, db2, ds = pd[:tc], pd[tc : 2 * tc], pd[2 * tc :]
     dz_ok = jnp.abs(ds) > _DZ_EPS
@@ -188,6 +193,47 @@ def _pair_hits(
         & (t < t_max_row)
     )
     return jnp.where(valid, t, MISS_T)
+
+
+def _split3(x):
+    """[hi; lo; hi] bf16 row-concat of a (4, Rt) f32 operand — the B side
+    of the FUSED bf16x3 schedule (see ``_pair_hits_fused``)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return jnp.concatenate([hi, lo, hi], axis=0)  # (12, Rt)
+
+
+def _pair_hits_fused(rays, d12, wm12, tc, t_min, t_max_row, anchor):
+    """Fused-schedule pair test: ONE K=12 MXU pass per affine.
+
+    The bf16x3 sum ``ah.bh + ah.bl + al.bh`` is a single contraction over a
+    concatenated K axis: A' = [Ah; Ah; Al] (12, 3Tc, pre-packed at build
+    time) against B' = [bh; bl; bh] (12, Rt; the direction side ``d12`` is
+    split once per tile, the origin side per visit — re-centering makes it
+    anchor-dependent).  The MXU's cost here is stream-bound (K=4 or 12 both
+    fit one systolic pass, and each pass streams Rt columns), so folding
+    the three passes into one cuts leaf-visit MXU time ~3x.  Numerics are
+    the same three exact bf16-product terms, accumulated in f32 by the MXU
+    instead of by two adds — agreement with the unfused schedule is
+    ulp-level.
+    """
+    ax, ay, az = anchor
+    o_feat = jnp.concatenate(
+        [rays[0:1, :] - ax, rays[1:2, :] - ay, rays[2:3, :] - az,
+         rays[3:4, :]],
+        axis=0,
+    )
+    rt = rays.shape[1]
+    # Both affines in ONE MXU op: concatenate the origin and direction
+    # operands along N (one 2Rt-column stream amortizes the per-op fixed
+    # cost) and slice the product back apart.
+    b = jnp.concatenate([_split3(o_feat), d12], axis=1)  # (12, 2Rt)
+    p = jax.lax.dot_general(
+        wm12, b, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    po, pd = p[:, :rt], p[:, rt:]
+    return _pair_tail(po, pd, tc, t_min, t_max_row)
 
 
 def _pair_hits_t(raysT, wm, tc, t_min, t_max_col, anchor=None):

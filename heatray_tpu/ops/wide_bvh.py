@@ -43,9 +43,11 @@ from .intersect_pallas import (
     MISS_T,
     _pack_rays,
     _pair_hits,
+    _pair_hits_fused,
     _pair_hits_t,
     _row_spec,
     _rays_spec,
+    _split3,
     _tile_inv_dir,
 )
 
@@ -68,10 +70,16 @@ class WideBVH:
     ``wchild``: (Nw * 8,) i32 child codes — ``>= 0``: wide-node index;
     ``-1``: empty; ``<= -2``: leaf, chunk id = ``-2 - code``.
     ``waxis``: (Nw,) i32 — the axis children are sorted along (ascending).
-    ``w``: (C, 4, 3*Tc) f32 chunk-packed Woop rows (``intersect_pallas``
-    pair-math layout), RE-CENTERED: each chunk's translation column has the
-    anchor ``wanchor[c]`` folded in (in float64 at pack time), so the kernel
-    evaluates the affine at ``o - anchor`` — see ``_pair_hits``.
+    ``w``: chunk-packed Woop rows, RE-CENTERED: each chunk's translation
+    column has the anchor ``wanchor[c]`` folded in (in float64 at pack
+    time), so the kernel evaluates the affine at ``o - anchor``.  Layout
+    depends on the build ``schedule``:
+    - "fused" (default): (C, 12, 3*Tc) bf16 — the pre-split [Ah; Ah; Al]
+      operand of the single-pass K=12 bf16x3 contraction
+      (``_pair_hits_fused``); 3x fewer MXU passes per leaf visit.
+    - "f32": (C, 4, 3*Tc) f32 — the classic layout for the multi-pass
+      schedules (``_pair_hits`` with bf16x3/HIGHEST precision) and the
+      HBM-streaming kernels.
     ``slot_tri``: (C * Tc,) i32 chunk slot -> original triangle id (-1
     padding).  ``wanchor``: (C, 3) f32 chunk anchor points (SMEM).
     """
@@ -171,11 +179,13 @@ def build_wide_bvh(
     accel: WoopAccel,
     leaf_size: int = 32,
     include: np.ndarray | None = None,
+    schedule: str = "fused",
 ) -> WideBVH:
     """Binned-SAH binary build + arity-8 collapse + Woop chunk packing.
 
     Must run OUTSIDE jit (needs concrete boxes).  ``include`` filters
     triangles (the occluder-only accel, ``Mesh.cpp:95-100``).
+    ``schedule``: "fused" (bf16 single-pass pack) or "f32" (see WideBVH).
     """
     topo = build_topology(
         np.asarray(accel.tri_min),
@@ -214,6 +224,15 @@ def build_wide_bvh(
     w = w.astype(np.float32)
     w = w.reshape(12, c, tc).transpose(1, 0, 2)
     w = w.reshape(c, 3, 4, tc).transpose(0, 2, 1, 3).reshape(c, 4, 3 * tc)
+    if schedule == "fused":
+        # Pre-split A side of the single-pass bf16x3 contraction:
+        # rows [Ah; Ah; Al] along K (matched against [bh; bl; bh] rays).
+        import ml_dtypes
+
+        bf16 = ml_dtypes.bfloat16
+        w_hi = w.astype(bf16)
+        w_lo = (w - w_hi.astype(np.float32)).astype(bf16)
+        w = np.concatenate([w_hi, w_hi, w_lo], axis=1)  # (C, 12, 3Tc)
 
     return WideBVH(
         wbox=jnp.asarray(wbox),
@@ -274,7 +293,7 @@ def _tile_axis_signs(rays):
 
 
 def _closest_kernel(
-    tc, t_min, precision,
+    tc, t_min, precision, fused,
     rays_ref, wbox_ref, wchild_ref, waxis_ref, w_ref, wanchor_ref,
     t_ref, id_ref, stack_ref, best_ref, bid_ref,
 ):
@@ -283,6 +302,23 @@ def _closest_kernel(
     invx, invy, invz = _tile_inv_dir(rays)
     sx, sy, sz = _tile_axis_signs(rays)
     sub_ids = jax.lax.broadcasted_iota(jnp.int32, (tc, rt), 0)
+    # Direction split for the fused schedule: anchor-independent, built
+    # once per tile (the origin side is split per leaf visit).
+    d12 = _split3(rays[4:8, :]) if fused else None
+
+    def pair(chunk, bound):
+        anchor = (
+            wanchor_ref[chunk, 0],
+            wanchor_ref[chunk, 1],
+            wanchor_ref[chunk, 2],
+        )
+        if fused:
+            return _pair_hits_fused(
+                rays, d12, w_ref[chunk], tc, t_min, bound, anchor
+            )
+        return _pair_hits(
+            rays, w_ref[chunk], tc, t_min, bound, precision, anchor
+        )
 
     best_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
     bid_ref[...] = jnp.full((1, rt), -1, jnp.int32)
@@ -311,14 +347,7 @@ def _closest_kernel(
             def _():
                 chunk = -2 - code
                 bt = best_ref[...]
-                anchor = (
-                    wanchor_ref[chunk, 0],
-                    wanchor_ref[chunk, 1],
-                    wanchor_ref[chunk, 2],
-                )
-                tm = _pair_hits(
-                    rays, w_ref[chunk], tc, t_min, bt, precision, anchor
-                )
+                tm = pair(chunk, bt)
                 col_min = jnp.min(tm, axis=0, keepdims=True)  # (1, Rt)
                 tri = jnp.min(
                     jnp.where(tm <= col_min, sub_ids, jnp.int32(2**30)),
@@ -355,7 +384,7 @@ def _closest_kernel(
 
 
 def _any_kernel(
-    tc, t_min, precision,
+    tc, t_min, precision, fused,
     rays_ref, tmax_ref, wbox_ref, wchild_ref, waxis_ref, w_ref, wanchor_ref,
     hit_ref, stack_ref, mint_ref,
 ):
@@ -363,6 +392,21 @@ def _any_kernel(
     t_max = tmax_ref[...]  # (1, Rt)
     rt = rays.shape[1]
     invx, invy, invz = _tile_inv_dir(rays)
+    d12 = _split3(rays[4:8, :]) if fused else None
+
+    def pair(chunk, bound):
+        anchor = (
+            wanchor_ref[chunk, 0],
+            wanchor_ref[chunk, 1],
+            wanchor_ref[chunk, 2],
+        )
+        if fused:
+            return _pair_hits_fused(
+                rays, d12, w_ref[chunk], tc, t_min, bound, anchor
+            )
+        return _pair_hits(
+            rays, w_ref[chunk], tc, t_min, bound, precision, anchor
+        )
 
     mint_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
 
@@ -388,14 +432,7 @@ def _any_kernel(
             @pl.when(leaf_live)
             def _():
                 chunk = -2 - code
-                anchor = (
-                    wanchor_ref[chunk, 0],
-                    wanchor_ref[chunk, 1],
-                    wanchor_ref[chunk, 2],
-                )
-                tm = _pair_hits(
-                    rays, w_ref[chunk], tc, t_min, t_max, precision, anchor
-                )
+                tm = pair(chunk, t_max)
                 mint_ref[...] = jnp.minimum(
                     mint_ref[...], jnp.min(tm, axis=0, keepdims=True)
                 )
@@ -603,6 +640,7 @@ def intersect_closest_vpu(
     (exact f32; the fast path).  Requires ``bvh.leaf_size % 128 == 0``."""
     tc = bvh.leaf_size
     assert tc % 128 == 0, "VPU leaf math needs leaf_size % 128 == 0"
+    assert bvh.w.dtype == jnp.float32, "VPU kernels need a schedule='f32' pack"
     rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
 
     kernel = functools.partial(_closest_kernel_t, tc, t_min)
@@ -655,6 +693,7 @@ def intersect_any_vpu(
     """Any-hit wide-BVH traversal, transposed layout + VPU leaf math."""
     tc = bvh.leaf_size
     assert tc % 128 == 0, "VPU leaf math needs leaf_size % 128 == 0"
+    assert bvh.w.dtype == jnp.float32, "VPU kernels need a schedule='f32' pack"
     rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
     t_max = jax.lax.stop_gradient(
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
@@ -889,6 +928,7 @@ def intersect_closest_stream(
 ):
     """Closest-hit wide-BVH traversal with HBM-resident leaf data."""
     tc = bvh.leaf_size
+    assert bvh.w.dtype == jnp.float32, "stream kernels need a schedule='f32' pack"
     rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
 
     kernel = functools.partial(_closest_stream_kernel, tc, t_min, precision)
@@ -943,6 +983,7 @@ def intersect_any_stream(
 ):
     """Any-hit wide-BVH traversal with HBM-resident leaf data."""
     tc = bvh.leaf_size
+    assert bvh.w.dtype == jnp.float32, "stream kernels need a schedule='f32' pack"
     rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
     t_max = jax.lax.stop_gradient(
         jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (r,))
@@ -1000,7 +1041,8 @@ def intersect_closest_wide(
     tc = bvh.leaf_size
     rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
 
-    kernel = functools.partial(_closest_kernel, tc, t_min, precision)
+    fused = bvh.w.dtype == jnp.bfloat16
+    kernel = functools.partial(_closest_kernel, tc, t_min, precision, fused)
     best_t, best_slot = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -1057,7 +1099,8 @@ def intersect_any_wide(
     )
     t_max = jnp.pad(t_max, (0, n_tiles * ray_tile - r))[None, :]
 
-    kernel = functools.partial(_any_kernel, tc, t_min, precision)
+    fused = bvh.w.dtype == jnp.bfloat16
+    kernel = functools.partial(_any_kernel, tc, t_min, precision, fused)
     blocked = pl.pallas_call(
         kernel,
         grid=(n_tiles,),

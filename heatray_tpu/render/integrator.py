@@ -173,9 +173,20 @@ def build_accel(
             if options.wide_leaf_math == "vpu":
                 ls = -(-ls // 128) * 128  # lane-tile alignment
 
-        wide = build_wide_bvh(accel, leaf_size=ls)
+        # Fused single-pass bf16x3 pack for the VMEM MXU kernels; the
+        # streaming / VPU / HIGHEST paths need the classic f32 layout.
+        sched = (
+            "fused"
+            if backend == "wide"
+            and options.wide_leaf_math == "mxu"
+            and options.wide_precision == "bf16x3"
+            else "f32"
+        )
+        wide = build_wide_bvh(accel, leaf_size=ls, schedule=sched)
         wide_occl = (
-            build_wide_bvh(accel, leaf_size=ls, include=_occl_include())
+            build_wide_bvh(
+                accel, leaf_size=ls, include=_occl_include(), schedule=sched
+            )
             if scene.has_alpha_mask
             else wide
         )

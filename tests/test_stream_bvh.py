@@ -18,7 +18,7 @@ from test_bvh import make_rays, make_soup, planar, v3
 def test_closest_stream_matches_xla(leaf_size):
     positions, indices = make_soup(700, seed=11)
     accel = build_woop(planar(positions), planar(indices))
-    bvh = build_wide_bvh(accel, leaf_size=leaf_size)
+    bvh = build_wide_bvh(accel, leaf_size=leaf_size, schedule="f32")
     orig, dirs = make_rays(512, seed=7)
     org, d = v3(planar(orig).T), v3(planar(dirs).T)
 
@@ -38,7 +38,7 @@ def test_closest_stream_matches_xla(leaf_size):
 def test_any_stream_matches_xla():
     positions, indices = make_soup(700, seed=13)
     accel = build_woop(planar(positions), planar(indices))
-    bvh = build_wide_bvh(accel, leaf_size=64)
+    bvh = build_wide_bvh(accel, leaf_size=64, schedule="f32")
     orig, dirs = make_rays(512, seed=17)
     org, d = v3(planar(orig).T), v3(planar(dirs).T)
 

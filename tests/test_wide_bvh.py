@@ -75,7 +75,7 @@ class TestCollapse:
 def test_closest_matches_xla(leaf_size):
     positions, indices = make_soup(700, seed=11)
     accel = build_woop(planar(positions), planar(indices))
-    bvh = build_wide_bvh(accel, leaf_size=leaf_size)
+    bvh = build_wide_bvh(accel, leaf_size=leaf_size, schedule="f32")
     orig, dirs = make_rays(512, seed=7)
     org, d = v3(planar(orig).T), v3(planar(dirs).T)
 
@@ -96,7 +96,7 @@ def test_closest_matches_xla(leaf_size):
 def test_any_matches_xla():
     positions, indices = make_soup(700, seed=13)
     accel = build_woop(planar(positions), planar(indices))
-    bvh = build_wide_bvh(accel, leaf_size=32)
+    bvh = build_wide_bvh(accel, leaf_size=32, schedule="f32")
     orig, dirs = make_rays(512, seed=17)
     org, d = v3(planar(orig).T), v3(planar(dirs).T)
 
@@ -121,7 +121,8 @@ def test_bf16x3_precision_close():
     the anchoring) blows it up."""
     positions, indices = make_soup(400, seed=19)
     accel = build_woop(planar(positions), planar(indices))
-    bvh = build_wide_bvh(accel, leaf_size=32)
+    bvh = build_wide_bvh(accel, leaf_size=32, schedule="f32")
+    bvh_fused = build_wide_bvh(accel, leaf_size=32)  # default: fused bf16x3
     orig, dirs = make_rays(512, seed=23)
     org, d = v3(planar(orig).T), v3(planar(dirs).T)
 
@@ -129,7 +130,7 @@ def test_bf16x3_precision_close():
         bvh, org, d, ray_tile=256, interpret=True
     )
     t_b3, id_b3, hit_b3 = intersect_closest_wide(
-        bvh, org, d, ray_tile=256, interpret=True, precision="bf16x3"
+        bvh_fused, org, d, ray_tile=256, interpret=True
     )
     agree = (np.asarray(hit_hi) == np.asarray(hit_b3)).mean()
     assert agree > 0.998, f"bf16x3 hit agreement {agree}"
@@ -159,7 +160,7 @@ def test_vpu_closest_matches_xla(ray_tile):
 
     positions, indices = make_soup(700, seed=11)
     accel = build_woop(planar(positions), planar(indices))
-    bvh = build_wide_bvh(accel, leaf_size=128)
+    bvh = build_wide_bvh(accel, leaf_size=128, schedule="f32")
     orig, dirs = make_rays(512, seed=7)
     org, d = v3(planar(orig).T), v3(planar(dirs).T)
 
@@ -181,7 +182,7 @@ def test_vpu_any_matches_xla():
 
     positions, indices = make_soup(700, seed=13)
     accel = build_woop(planar(positions), planar(indices))
-    bvh = build_wide_bvh(accel, leaf_size=128)
+    bvh = build_wide_bvh(accel, leaf_size=128, schedule="f32")
     orig, dirs = make_rays(512, seed=17)
     org, d = v3(planar(orig).T), v3(planar(dirs).T)
 
