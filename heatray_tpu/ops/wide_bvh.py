@@ -392,6 +392,7 @@ def _any_kernel(
     t_max = tmax_ref[...]  # (1, Rt)
     rt = rays.shape[1]
     invx, invy, invz = _tile_inv_dir(rays)
+    sx, sy, sz = _tile_axis_signs(rays)
     d12 = _split3(rays[4:8, :]) if fused else None
 
     def pair(chunk, bound):
@@ -421,13 +422,17 @@ def _any_kernel(
         t_far = jnp.where(mint_ref[...] < MISS_T, t_min - 1.0, t_max)
         ov = _children_slab(boxes, rays, invx, invy, invz, t_min, t_far)
         bits = _overlap_bits(ov)
+        axis = waxis_ref[i]
+        sign = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
 
+        # Near-first leaf order: an occluder found early blocks its lanes,
+        # collapsing their intervals so everything behind it is pruned.
         push = jnp.int32(0)
-        for c in range(ARITY):  # occlusion: order irrelevant
+        for k in range(ARITY):
+            c = jnp.where(sign, k, ARITY - 1 - k)
             code = wchild_ref[ARITY * i + c]
             hit_live = (((bits >> c) & 1) > 0)
             leaf_live = hit_live & (code <= -2)
-            int_live = hit_live & (code >= 0)
 
             @pl.when(leaf_live)
             def _():
@@ -436,6 +441,12 @@ def _any_kernel(
                 mint_ref[...] = jnp.minimum(
                     mint_ref[...], jnp.min(tm, axis=0, keepdims=True)
                 )
+
+        # Push internal children far-first so the LIFO pops near-first.
+        for k in range(ARITY):
+            c = jnp.where(sign, ARITY - 1 - k, k)
+            code = wchild_ref[ARITY * i + c]
+            int_live = (((bits >> c) & 1) > 0) & (code >= 0)
 
             @pl.when(int_live)
             def _():

@@ -102,10 +102,12 @@ class RenderOptions:
     # the 8-wide slab test amortizes the extra nodes.  ("vpu" leaf math
     # rounds this up to a multiple of 128: lane-tile alignment.)
     wide_leaf_size: int = 32
-    # Rays per grid step for the wide-BVH kernels (smaller tiles share
-    # traversal decisions across fewer rays -> tighter culling; 256 won the
-    # on-chip sweep for sorted bounce wavefronts, see tpu_wide_check.py).
-    wide_ray_tile: int = 256
+    # Rays per grid step for the wide-BVH kernels: smaller tiles share
+    # traversal decisions across fewer rays (tighter culling), larger tiles
+    # amortize the per-visit fixed cost.  The fused single-pass MXU
+    # schedule moved the optimum from 256 to 512 on the real bounce
+    # wavefront sweep (tpu_bounce_sweep.py).
+    wide_ray_tile: int = 512
     # Triangles per leaf for the HBM-streaming backend ("stream", selected
     # automatically past the VMEM budget): bigger leaves amortize the
     # per-leaf DMA (128 tris = 6 KB per transfer).

@@ -17,7 +17,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 from heatray_tpu.camera import orbit_camera
 from heatray_tpu.options import RenderOptions
 from heatray_tpu.render.integrator import (
-    _make_bvh_intersectors,
+    _make_wide_intersectors,
     _offset_origin,
     _park_dead,
     build_accel,
@@ -37,7 +37,7 @@ camera = orbit_camera(W, H, distance=6.2, focal_length_mm=35.0)
 ctx = make_context(options, scene)
 pack = ctx.accel_pack
 print(f"backend={pack.backend}", file=sys.stderr)
-closest_fn, any_fn = _make_bvh_intersectors(pack, options)
+closest_fn, any_fn = _make_wide_intersectors(pack, options)
 
 eps = options.ray_epsilon
 
@@ -87,11 +87,12 @@ attr_jit = jax.jit(
 total = {"closest": 0.0, "any": 0.0, "gather": 0.0, "attrs": 0.0, "shade": 0.0}
 for depth in range(1, DEPTH + 1):
     print(f"bounce {depth} (active={int(jnp.sum(active))})", file=sys.stderr)
-    dt, (t, tid, front, hit) = timeit("closest", lambda: closest_fn(org, dirn, eps))
+    dt, (t, tid, hit) = timeit("closest", lambda: closest_fn(org, dirn, eps))
     total["closest"] += dt
     hit = hit & active
     dt, rows_arr = timeit("gather rows (T,82)", lambda: gather_jit(tid))
     total["gather"] += dt
+    front = jnp.ones(hit.shape, bool)
     dt, (t_d, b1, b2) = timeit("hit attrs", lambda: attr_jit(rows_arr, org, dirn, hit))
     total["attrs"] += dt
     t_sane = jnp.where(hit, t_d, 1.0)

@@ -130,8 +130,8 @@ for depth in range(1, DEPTH + 1):
     cur_o, cur_d, weight, env_on_miss, active = e_org, e_dir, e_w, e_env, e_act
 
 # --- sweep --------------------------------------------------------------
-LEAVES = [16, 32, 64]
-TILES = [128, 256, 512]
+LEAVES = [32]
+TILES = [128, 256, 512, 1024]
 print("\n== closest-hit (ms) by depth | any-hit (ms) by depth ==",
       file=sys.stderr)
 print(f"{'leaf':>4s} {'rt':>4s} | " +

@@ -21,7 +21,7 @@ from heatray_tpu.ops import build_woop
 from heatray_tpu.ops.bvh import build_bvh
 from heatray_tpu.ops.traverse_pallas import intersect_any_bvh, intersect_closest_bvh
 from heatray_tpu.render.integrator import (
-    _make_bvh_intersectors,
+    _make_wide_intersectors,
     _offset_origin,
     _park_dead,
     make_context,
@@ -48,8 +48,8 @@ org, dirn, seq_id, seq_off = jax.jit(
 )()
 
 # Real bounce-1 wavefront: shade the primaries, take the extension rays.
-closest_fn, any_fn = _make_bvh_intersectors(pack, options)
-t, tid, front, hit = closest_fn(org, dirn, 1e-4)
+closest_fn, any_fn = _make_wide_intersectors(pack, options)
+t, tid, hit = closest_fn(org, dirn, 1e-4)
 rows_arr = jnp.take(pack.shade_table, jnp.maximum(tid, 0), axis=0, mode="clip")
 rows = HitRows(rows_arr)
 t_d, b1, b2 = hit_attributes_rows(rows, org, dirn, hit)
