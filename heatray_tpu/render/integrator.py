@@ -20,6 +20,7 @@ import functools
 import jax
 import jax.numpy as jnp
 from flax import struct
+from jax.ad_checkpoint import checkpoint_name
 
 from ..camera import CameraParams
 from ..options import AOV, FrameGlobals, RenderOptions
@@ -762,6 +763,13 @@ def render_pass(
         # the per-stage breakdown SURVEY section 5 asks for.
         with jax.named_scope("traverse_closest"):
             t, tid, hit = closest_fn(org, direction, eps)
+            # Traversal outputs are detached discrete values (~20 MB/bounce
+            # at 1080p); naming them lets the remat policy SAVE them so the
+            # backward sweep's recompute skips the traversal kernels —
+            # by far the most expensive ops in the pass (~75% of it).
+            t = checkpoint_name(t, "traversal")
+            tid = checkpoint_name(tid, "traversal")
+            hit = checkpoint_name(hit, "traversal")
         hit = hit & active
 
         # Miss: environment (only for rays whose default primitive is the
@@ -819,7 +827,10 @@ def render_pass(
             res.shadow_active,
         )
         with jax.named_scope("traverse_occlusion"):
-            blocked = any_fn(s_org, s_dir, eps, res.shadow_max_t - 2.0 * eps)
+            blocked = checkpoint_name(
+                any_fn(s_org, s_dir, eps, res.shadow_max_t - 2.0 * eps),
+                "traversal",
+            )
         lit = res.shadow_active & (~blocked)
         contrib = contrib + Vec3.where(
             lit, clamp(res.shadow_weight * res.shadow_radiance), 0.0
@@ -858,11 +869,22 @@ def render_pass(
         org, direction, weight, env_on_miss, active, contrib,
         jnp.zeros(shape2, jnp.float32), seq_id, seq_off, pix0, jnp.int32(0),
     )
-    # Remat (``jax.checkpoint``): save only the inter-bounce carry; the QMC
-    # draws and shade intermediates are recomputed in the backward sweep —
-    # without this, per-depth residuals OOM a 16 GB chip at 1080p.
+    # Remat (``jax.checkpoint``): save the inter-bounce carry plus — on the
+    # TPU kernel backends — the NAMED traversal outputs (see
+    # checkpoint_name above), so the backward sweep recomputes the QMC
+    # draws and shade intermediates but NOT the traversal kernels (~75% of
+    # a pass; bench fwd+bwd 5.0 -> 8.1 Mrays/s).  The names policy costs
+    # ~50% extra compile time, so the XLA/CPU path (where traversal is not
+    # dominant and test suites pay every compile) keeps plain remat.
+    # Without any remat, per-depth residuals OOM a 16 GB chip at 1080p.
+    _tpu_kernels = pack is not None and pack.backend in ("wide", "stream")
+    _policy = (
+        jax.checkpoint_policies.save_only_these_names("traversal")
+        if _tpu_kernels
+        else None
+    )
     maybe_ckpt = (
-        (lambda f: jax.checkpoint(f, prevent_cse=False))
+        (lambda f: jax.checkpoint(f, prevent_cse=False, policy=_policy))
         if options.remat_bounces
         else (lambda f: f)
     )

@@ -23,7 +23,7 @@ import os
 import sys
 import time
 
-OUT = "SCALING_r03.json"
+OUT = "SCALING_r04.json"
 
 
 def _timed_passes(run, n=4):
