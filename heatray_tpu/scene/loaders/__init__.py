@@ -1,10 +1,11 @@
-"""Model loaders (OBJ/MTL, glTF/GLB, PLY, STL) with the reference's material
-mapping."""
+"""Model loaders (OBJ/MTL, glTF/GLB, COLLADA, PLY, STL, OFF) with the
+reference's material mapping."""
 
 from typing import Optional
 
 from .gltf import load_gltf
-from .mesh_formats import load_ply, load_stl
+from .collada import load_dae
+from .mesh_formats import load_off, load_ply, load_stl
 from .obj import load_obj
 
 
@@ -24,6 +25,10 @@ def load_model_scene(path: str, env=None, scale: float = 1.0):
         meshes, materials = load_ply(path, scale=scale)
     elif path.endswith(".stl"):
         meshes, materials = load_stl(path, scale=scale)
+    elif path.endswith(".off"):
+        meshes, materials = load_off(path, scale=scale)
+    elif path.endswith(".dae"):
+        meshes, materials = load_dae(path, scale=scale)
     else:
         raise ValueError(f"unsupported model format: {path}")
     for mesh, mat in zip(meshes, materials):
@@ -41,4 +46,4 @@ def load_model_scene(path: str, env=None, scale: float = 1.0):
     return b.build()
 
 
-__all__ = ["load_gltf", "load_obj", "load_ply", "load_stl", "load_model_scene"]
+__all__ = ["load_gltf", "load_obj", "load_ply", "load_stl", "load_off", "load_dae", "load_model_scene"]

@@ -227,3 +227,49 @@ def load_stl(
     indices = inverse.reshape(-1, 3).astype(np.int32)
     mesh = MeshData(positions=positions, indices=indices, name=name or "stl")
     return [mesh], [PBRParams(name=name or "stl")]
+
+
+def load_off(
+    path: str, scale: float = 1.0, name: str | None = None
+) -> Tuple[List[MeshData], List[object]]:
+    """Load an OFF (Object File Format) mesh: ``OFF / V F E / vertices /
+    faces`` with optional per-vertex colors (COFF) — another scanned-mesh
+    staple of the Assimp import surface."""
+    with open(path, "r", errors="replace") as f:
+        tokens = []
+        for line in f:
+            line = line.split("#", 1)[0].strip()
+            if line:
+                tokens.extend(line.split())
+    if not tokens or not tokens[0].upper().endswith("OFF"):
+        raise ValueError(f"not an OFF file: {path}")
+    has_color = tokens[0].upper().startswith("C")
+    pos = 1
+    nv, nf = int(tokens[pos]), int(tokens[pos + 1])
+    pos += 3  # skip edge count
+    width = 7 if has_color else 3  # x y z [r g b a]
+    vdata = np.asarray(tokens[pos : pos + nv * width], np.float64)
+    # Some COFF files write rgb without alpha; re-detect from token budget.
+    if has_color and vdata.size != nv * width:
+        width = 6
+        vdata = np.asarray(tokens[pos : pos + nv * width], np.float64)
+    vdata = vdata.reshape(nv, width)
+    pos += nv * width
+    positions = (vdata[:, :3] * scale).astype(np.float32)
+    colors = None
+    if has_color:
+        colors = vdata[:, 3:6].astype(np.float32)
+        if colors.max() > 1.0 + 1e-6:
+            colors = colors / 255.0
+    faces = []
+    for _ in range(nf):
+        n = int(tokens[pos]); pos += 1
+        faces.append([int(tokens[pos + i]) for i in range(n)])
+        pos += n
+    mesh = MeshData(
+        positions=positions,
+        indices=_fan(faces),
+        colors=colors,
+        name=name or "off",
+    )
+    return [mesh], [PBRParams(name=name or "off")]
