@@ -737,6 +737,16 @@ def render_pass(
         lo = jax.lax.stop_gradient(jnp.min(src.tri_min, axis=1))
         hi = jax.lax.stop_gradient(jnp.max(src.tri_max, axis=1))
 
+    # The named-save remat policy (below) only engages for the TPU kernel
+    # backends; the checkpoint_name markers themselves measurably slow the
+    # CPU/XLA compile (~2x on the grad graph), so they are gated the same.
+    _tpu_kernels = pack is not None and pack.backend in ("wide", "stream")
+    _name = (
+        (lambda x: checkpoint_name(x, "traversal"))
+        if _tpu_kernels
+        else (lambda x: x)
+    )
+
     def bounce(carry, depth, do_sort=False):
         (org, direction, weight, env_on_miss, active, contrib, path_len,
          seq_id, seq_off, pix, ray_count) = carry
@@ -767,9 +777,7 @@ def render_pass(
             # at 1080p); naming them lets the remat policy SAVE them so the
             # backward sweep's recompute skips the traversal kernels —
             # by far the most expensive ops in the pass (~75% of it).
-            t = checkpoint_name(t, "traversal")
-            tid = checkpoint_name(tid, "traversal")
-            hit = checkpoint_name(hit, "traversal")
+            t, tid, hit = _name(t), _name(tid), _name(hit)
         hit = hit & active
 
         # Miss: environment (only for rays whose default primitive is the
@@ -827,9 +835,8 @@ def render_pass(
             res.shadow_active,
         )
         with jax.named_scope("traverse_occlusion"):
-            blocked = checkpoint_name(
-                any_fn(s_org, s_dir, eps, res.shadow_max_t - 2.0 * eps),
-                "traversal",
+            blocked = _name(
+                any_fn(s_org, s_dir, eps, res.shadow_max_t - 2.0 * eps)
             )
         lit = res.shadow_active & (~blocked)
         contrib = contrib + Vec3.where(
@@ -877,7 +884,6 @@ def render_pass(
     # ~50% extra compile time, so the XLA/CPU path (where traversal is not
     # dominant and test suites pay every compile) keeps plain remat.
     # Without any remat, per-depth residuals OOM a 16 GB chip at 1080p.
-    _tpu_kernels = pack is not None and pack.backend in ("wide", "stream")
     _policy = (
         jax.checkpoint_policies.save_only_these_names("traversal")
         if _tpu_kernels
