@@ -96,6 +96,64 @@ def _light_from_edit(cls, current_kwargs: dict, edit: dict):
     return cls(**kwargs)
 
 
+def _bank_row_kwargs(kind: str, lights, idx: int) -> dict:
+    """Reconstruct light constructor kwargs from the LightBank row so a
+    partial edit preserves the light's other parameters (the reference
+    mutates the stored Params in place, ``HeatrayRenderer.cpp:875-946``).
+
+    The bank stores radiometric color = color x intensity-scale; decompose
+    with the convention max(color) == 1, which round-trips exactly for
+    lights created with normalized colors and keeps the radiometric product
+    exact for untouched fields either way."""
+    import math as _math
+
+    from .scene.lights import LUMENS_TO_WATTS, WATTS_TO_LUMENS
+
+    def decompose(rad, to_intensity):
+        rad = np.asarray(rad, np.float64)
+        peak = float(rad.max())
+        if peak <= 0.0:
+            return (0.0, 0.0, 0.0), 0.0
+        return tuple((rad / peak).tolist()), to_intensity(peak)
+
+    if kind == "directional_light":
+        color, lux = decompose(
+            lights.dir_color[idx], lambda w: w * WATTS_TO_LUMENS
+        )
+        return {
+            "direction": tuple(np.asarray(lights.dir_direction[idx]).tolist()),
+            "color": color,
+            "illuminance": lux,
+        }
+    if kind == "point_light":
+        color, lm = decompose(
+            lights.point_color[idx],
+            lambda w: w / (LUMENS_TO_WATTS * 4.0 * _math.pi),
+        )
+        return {
+            "position": tuple(np.asarray(lights.point_position[idx]).tolist()),
+            "color": color,
+            "luminous_intensity": lm,
+        }
+    if kind == "spot_light":
+        color, lm = decompose(
+            lights.spot_color[idx],
+            lambda w: w / (LUMENS_TO_WATTS * _math.pi),
+        )
+        cos_in, cos_out = np.asarray(lights.spot_cos_angles[idx]).tolist()
+        return {
+            "position": tuple(np.asarray(lights.spot_position[idx]).tolist()),
+            "direction": tuple(
+                np.asarray(lights.spot_direction[idx]).tolist()
+            ),
+            "color": color,
+            "inner_angle": _math.acos(float(np.clip(cos_in, -1.0, 1.0))),
+            "outer_angle": _math.acos(float(np.clip(cos_out, -1.0, 1.0))),
+            "luminous_intensity": lm,
+        }
+    raise ValueError(kind)
+
+
 class InteractiveRenderer:
     """Progressive renderer + edit loop (``HeatrayRenderer`` orchestrator)."""
 
@@ -222,12 +280,20 @@ class InteractiveRenderer:
                     scene_edit.add_spot_light,
                 ),
             }[kind]
-            light = _light_from_edit(cls, {}, edit)
             counts = {
                 "directional_light": int(self.scene.lights.num_directional),
                 "point_light": int(self.scene.lights.num_point),
                 "spot_light": int(self.scene.lights.num_spot),
             }
+            # Seed unspecified fields from the light's CURRENT bank row
+            # (new lights start from the class defaults): a partial edit —
+            # e.g. only ``color`` — must not reset position or intensity.
+            current = (
+                _bank_row_kwargs(kind, self.scene.lights, idx)
+                if 0 <= idx < counts[kind] and not edit.get("remove")
+                else {}
+            )
+            light = _light_from_edit(cls, current, edit)
             if edit.get("remove"):
                 remove = {
                     "directional_light": scene_edit.remove_directional_light,

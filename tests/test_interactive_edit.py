@@ -78,6 +78,55 @@ def test_light_edit(session):
     assert int(r.scene.lights.num_point) == n0
 
 
+def test_partial_light_edit_preserves_other_fields(session):
+    """Editing only ``color`` must not reset position/intensity to defaults
+    (in-place mutation semantics, ``HeatrayRenderer.cpp:875-946``)."""
+    r = make_renderer(session)
+    r.apply_edit(
+        {"type": "point_light", "index": 0,
+         "position": [0.25, 1.5, -0.5], "luminous_intensity": 500.0,
+         "color": [1.0, 1.0, 1.0]}
+    )
+    rad_before = np.asarray(r.scene.lights.point_color[0]).copy()
+
+    r.apply_edit({"type": "point_light", "index": 0, "color": [1.0, 0.0, 0.0]})
+    np.testing.assert_allclose(
+        np.asarray(r.scene.lights.point_position[0]), [0.25, 1.5, -0.5]
+    )
+    rad_after = np.asarray(r.scene.lights.point_color[0])
+    # Intensity (the radiometric scale) survives; only the hue changed.
+    np.testing.assert_allclose(rad_after[0], rad_before[0], rtol=1e-5)
+    np.testing.assert_allclose(rad_after[1:], 0.0, atol=1e-7)
+
+    # Position-only edit keeps the radiometric color bit-exact.
+    r.apply_edit({"type": "point_light", "index": 0, "position": [0, 0, 0]})
+    np.testing.assert_allclose(
+        np.asarray(r.scene.lights.point_color[0]), rad_after, rtol=1e-6
+    )
+
+    # Spot: editing intensity alone preserves direction and cone angles.
+    from heatray_tpu.scene import edit as scene_edit
+    from heatray_tpu.scene.lights import SpotLight
+
+    r.scene = scene_edit.add_spot_light(
+        r.scene,
+        SpotLight(position=(0.0, 1.9, 0.0), direction=(0.0, -1.0, 0.0),
+                  inner_angle=0.2, outer_angle=0.6),
+    )
+    idx = int(r.scene.lights.num_spot) - 1
+    cos_before = np.asarray(r.scene.lights.spot_cos_angles[idx]).copy()
+    r.apply_edit({"type": "spot_light", "index": idx,
+                  "luminous_intensity": 2000.0})
+    np.testing.assert_allclose(
+        np.asarray(r.scene.lights.spot_direction[idx]), [0.0, -1.0, 0.0],
+        atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(r.scene.lights.spot_cos_angles[idx]), cos_before,
+        rtol=1e-5,
+    )
+
+
 def test_env_and_post_edits(session):
     r = make_renderer(session)
     assert r.apply_edit({"type": "env", "exposure": 2.0})
