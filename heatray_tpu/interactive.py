@@ -175,7 +175,7 @@ class InteractiveRenderer:
         # Orbit state for camera edits (the UI's orbit parameters).
         self.orbit = dict(
             distance=6.0, phi=0.0, theta=0.3, focal_length=50.0,
-            fstop=0.0, focus_distance=None,
+            fstop=0.0, focus_distance=None, target=(0.0, 0.0, 0.0),
         )
         if orbit:
             self.orbit.update(orbit)
@@ -243,6 +243,7 @@ class InteractiveRenderer:
         self.camera = orbit_camera(
             self.options.width, self.options.height,
             distance=o["distance"], phi=o["phi"], theta=o["theta"],
+            target=tuple(o.get("target", (0.0, 0.0, 0.0))),
             focal_length_mm=o["focal_length"],
             focus_distance=o["focus_distance"],
             aperture_radius=aperture,
@@ -329,6 +330,63 @@ class InteractiveRenderer:
                     env_enabled=jnp.int32(1 if edit["enabled"] else 0)
                 )
             self.scene = self.scene.replace(lights=lights)
+            return True
+        if kind == "load":
+            # Drag-drop scene/environment loading (``main.cpp:58``,
+            # ``HeatrayRenderer::changeScene/changeEnvironment``).
+            path = str(edit["path"])
+            what = edit.get("kind") or (
+                "env"
+                if path.lower().endswith((".hdr", ".exr"))
+                else "scene"
+            )
+            if what == "env":
+                from .io_utils.image import load_image
+
+                # EnvironmentLightDesc convention: top row first.
+                img = load_image(path)[::-1]
+                lights = self.scene.lights.replace(
+                    env_map=jnp.asarray(
+                        np.ascontiguousarray(
+                            np.asarray(img, np.float32).transpose(2, 0, 1)
+                        )
+                    ),
+                    env_enabled=jnp.int32(1),
+                )
+                self.scene = self.scene.replace(lights=lights)
+                return True
+            from .scene.loaders import load_model_scene
+
+            new_scene = load_model_scene(path)
+            if int(new_scene.lights.env_enabled) == 0 and int(
+                self.scene.lights.env_enabled
+            ):
+                # The reference keeps the current environment across scene
+                # changes (``changeScene`` only swaps geometry/materials).
+                cur = self.scene.lights
+                new_scene = new_scene.replace(
+                    lights=new_scene.lights.replace(
+                        env_enabled=cur.env_enabled,
+                        env_map=cur.env_map,
+                        env_exposure_compensation=(
+                            cur.env_exposure_compensation
+                        ),
+                        env_rotation=cur.env_rotation,
+                    )
+                )
+            self.scene = new_scene
+            # Auto-frame the camera from the new scene's AABB
+            # (``HeatrayRenderer.cpp:288-296,300-310``).
+            from .scene.geometry import scene_aabb
+
+            aabb = np.asarray(scene_aabb(self.scene.geometry))
+            center = 0.5 * (aabb[0] + aabb[1])
+            radius = float(np.linalg.norm(aabb[1] - aabb[0]) * 0.5)
+            self.orbit["target"] = tuple(center.tolist())
+            self.orbit["distance"] = max(radius * 3.0, 1e-3)
+            self.orbit["focus_distance"] = self.orbit["distance"]
+            self._rebuild_camera()
+            self.ctx = make_context(self.options, self.scene)
             return True
         if kind == "camera":
             for k in ("distance", "phi", "theta", "fstop", "focal_length",

@@ -42,7 +42,8 @@ button, input[type=range] { margin: 4px; }
 details { margin-top: 4px; }
 </style></head><body>
 <div id="status">waiting for first pass…</div>
-<img id="frame" src="/frame.png">
+<img id="frame" src="/frame.png" draggable="false"
+ title="drag: orbit — wheel: zoom — drop a model/.hdr/.exr file to load">
 <div id="editor">
  <details><summary>edit (material / light / camera / post — JSON)</summary>
   <textarea id="edit"
@@ -71,6 +72,61 @@ function sendEdit() {
   catch (e) { document.getElementById('msg').textContent = '' + e; }
 }
 function quick(obj) { postEdit(obj); }
+
+// -- mouse orbit / zoom (main.cpp:51-77) --------------------------------
+const frame = document.getElementById('frame');
+let orbit = null;            // {distance, phi, theta, ...} from /scene.json
+let dragging = false, lastX = 0, lastY = 0, sendTimer = null;
+async function loadOrbit() {
+  try {
+    const s = await (await fetch('/scene.json')).json();
+    if (s.camera) orbit = s.camera;
+  } catch (e) {}
+}
+loadOrbit();
+function sendCamera() {
+  if (!orbit || sendTimer) return;
+  sendTimer = setTimeout(() => {         // throttle to ~12 edits/s
+    sendTimer = null;
+    postEdit({type: 'camera', phi: orbit.phi, theta: orbit.theta,
+              distance: orbit.distance});
+  }, 80);
+}
+frame.addEventListener('pointerdown', e => {
+  dragging = true; lastX = e.clientX; lastY = e.clientY;
+  frame.setPointerCapture(e.pointerId);
+  if (!orbit) loadOrbit();
+  e.preventDefault();
+});
+frame.addEventListener('pointermove', e => {
+  if (!dragging || !orbit) return;
+  const dx = e.clientX - lastX, dy = e.clientY - lastY;
+  lastX = e.clientX; lastY = e.clientY;
+  orbit.phi -= dx * 0.01;                // radians per pixel
+  orbit.theta = Math.max(-1.55, Math.min(1.55, orbit.theta + dy * 0.01));
+  sendCamera();
+});
+frame.addEventListener('pointerup', e => { dragging = false; });
+frame.addEventListener('wheel', e => {
+  if (!orbit) { loadOrbit(); return; }
+  orbit.distance *= Math.exp(e.deltaY * 0.001);  // scroll zoom
+  sendCamera();
+  e.preventDefault();
+}, {passive: false});
+
+// -- drag-drop scene / environment loading (main.cpp:58) ----------------
+document.body.addEventListener('dragover', e => e.preventDefault());
+document.body.addEventListener('drop', async e => {
+  e.preventDefault();
+  const f = e.dataTransfer.files[0];
+  if (!f) return;
+  document.getElementById('msg').textContent = 'uploading ' + f.name + '…';
+  const r = await fetch('/upload', {method: 'POST',
+    headers: {'X-Filename': f.name}, body: f});
+  document.getElementById('msg').textContent =
+    r.ok ? 'loading ' + f.name : 'upload error ' + r.status;
+});
+
 async function tick() {
   try {
     const s = await (await fetch('/status.json')).json();
@@ -208,6 +264,42 @@ class ProgressiveViewer:
                 self.wfile.write(body)
 
             def do_POST(self):
+                if self.path.startswith("/upload"):
+                    # Drag-dropped scene/env file: save it and queue a
+                    # "load" edit (the ``glfwPathDropCallback`` analog).
+                    import os
+                    import re
+                    import tempfile
+
+                    try:
+                        n = int(self.headers.get("Content-Length", 0))
+                        name = os.path.basename(
+                            self.headers.get("X-Filename", "dropped.bin")
+                        )
+                        name = re.sub(r"[^A-Za-z0-9._-]", "_", name) or "f"
+                        updir = tempfile.mkdtemp(prefix="heatray_upload_")
+                        dest = os.path.join(updir, name)
+                        with open(dest, "wb") as f:
+                            remaining = n
+                            while remaining > 0:
+                                buf = self.rfile.read(min(remaining, 1 << 20))
+                                if not buf:
+                                    break
+                                f.write(buf)
+                                remaining -= len(buf)
+                    except Exception:
+                        self.send_response(400)
+                        self.end_headers()
+                        return
+                    with viewer._lock:
+                        viewer._edits.append({"type": "load", "path": dest})
+                    body = b'{"queued": true}'
+                    self.send_response(200)
+                    self.send_header("Content-Type", "application/json")
+                    self.send_header("Content-Length", str(len(body)))
+                    self.end_headers()
+                    self.wfile.write(body)
+                    return
                 if not self.path.startswith("/edit"):
                     self.send_response(404)
                     self.end_headers()

@@ -151,6 +151,46 @@ def test_options_edit(session):
     assert r.options.max_ray_depth == 3
 
 
+def test_load_edit_swaps_scene_and_frames_camera(session, tmp_path):
+    """Drag-drop loading (``main.cpp:58``): a ``load`` edit replaces the
+    scene and auto-frames the orbit camera from the new AABB."""
+    r = make_renderer(session)
+    p = tmp_path / "tri.obj"
+    # A triangle far from the origin: framing must move the orbit target.
+    p.write_text("v 10 0 0\nv 11 0 0\nv 10 1 0\nf 1 2 3\n")
+    env_before = int(r.scene.lights.env_enabled)
+
+    assert r.apply_edit({"type": "load", "path": str(p)})
+    assert int(r.scene.geometry.num_triangles) == 1
+    assert np.asarray(r.orbit["target"])[0] > 9.0  # reframed at the mesh
+    assert r.orbit["distance"] > 0.0
+    # Environment survives a scene load (changeScene keeps the env light).
+    assert int(r.scene.lights.env_enabled) == env_before
+
+
+def test_viewer_upload_queues_load_edit(session):
+    from heatray_tpu.viewer import ProgressiveViewer
+
+    viewer = ProgressiveViewer(port=0).start()
+    try:
+        base = f"http://127.0.0.1:{viewer.port}"
+        req = urllib.request.Request(
+            f"{base}/upload",
+            data=b"v 0 0 0\nv 1 0 0\nv 0 1 0\nf 1 2 3\n",
+            headers={"X-Filename": "drop me.obj"},
+            method="POST",
+        )
+        resp = json.loads(urllib.request.urlopen(req, timeout=5).read())
+        assert resp["queued"]
+        edits = viewer.poll_edits()
+        assert len(edits) == 1 and edits[0]["type"] == "load"
+        assert edits[0]["path"].endswith("drop_me.obj")  # sanitized name
+        with open(edits[0]["path"], "rb") as f:
+            assert f.read().startswith(b"v 0 0 0")
+    finally:
+        viewer.stop()
+
+
 def test_viewer_edit_queue_http(session):
     from heatray_tpu.viewer import ProgressiveViewer
 
