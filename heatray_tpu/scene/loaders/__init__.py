@@ -1,10 +1,11 @@
-"""Model loaders (OBJ/MTL, glTF/GLB, COLLADA, PLY, STL, OFF) with the
-reference's material mapping."""
+"""Model loaders (OBJ/MTL, glTF/GLB, COLLADA, FBX, PLY, STL, OFF) with
+the reference's material mapping."""
 
 from typing import Optional
 
 from .gltf import load_gltf
 from .collada import load_dae
+from .fbx import load_fbx
 from .mesh_formats import load_off, load_ply, load_stl
 from .obj import load_obj
 
@@ -29,6 +30,8 @@ def load_model_scene(path: str, env=None, scale: float = 1.0):
         meshes, materials = load_off(path, scale=scale)
     elif path.endswith(".dae"):
         meshes, materials = load_dae(path, scale=scale)
+    elif path.lower().endswith(".fbx"):
+        meshes, materials = load_fbx(path, scale=scale)
     else:
         raise ValueError(f"unsupported model format: {path}")
     for mesh, mat in zip(meshes, materials):
@@ -46,4 +49,4 @@ def load_model_scene(path: str, env=None, scale: float = 1.0):
     return b.build()
 
 
-__all__ = ["load_gltf", "load_obj", "load_ply", "load_stl", "load_off", "load_dae", "load_model_scene"]
+__all__ = ["load_gltf", "load_obj", "load_ply", "load_stl", "load_off", "load_dae", "load_fbx", "load_model_scene"]
