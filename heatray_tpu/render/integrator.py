@@ -93,6 +93,12 @@ class AccelPack:
     wide: WideBVH | None = None
     wide_occl: WideBVH | None = None
     backend: str = struct.field(pytree_node=False, default="xla")
+    # Host-sharded geometry (backend "sharded"): the Morton shard forest
+    # of per-shard wide BVHs, device-sharded over ``mesh[shard_axis]``.
+    swide: object | None = None  # ShardedWideBVH
+    swide_occl: object | None = None
+    mesh: object = struct.field(pytree_node=False, default=None)
+    shard_axis: str = struct.field(pytree_node=False, default="dp")
 
 
 @struct.dataclass
@@ -136,13 +142,22 @@ def _slot_order_table(table: jnp.ndarray, slot_tri: jnp.ndarray) -> jnp.ndarray:
 
 
 def build_accel(
-    scene: Scene, options: RenderOptions, static_shading: bool = True
+    scene: Scene,
+    options: RenderOptions,
+    static_shading: bool = True,
+    mesh=None,
+    shard_axis: str = "dp",
 ) -> AccelPack:
     """Build the per-scene acceleration pack (host side, outside jit).
 
     Device-side pieces run under jit: one eager jnp op costs seconds of
     round-trip latency on a tunneled remote TPU, and build_woop alone is
-    ~60 ops."""
+    ~60 ops.
+
+    ``intersect_backend="sharded"`` (host-sharded geometry, SURVEY
+    section 2.4): pass a ``mesh`` — one wide BVH is built per Morton shard
+    of the triangle range and device-sharded over ``mesh[shard_axis]``;
+    every device traverses the full wavefront against its shard only."""
     accel = jax.jit(build_woop)(
         scene.geometry.positions, scene.geometry.indices
     )
@@ -153,6 +168,7 @@ def build_accel(
     )
     backend = _select_backend(options, accel.num_triangles)
     bvh = bvh_occl = packed = packed_occl = wide = wide_occl = None
+    swide = swide_occl = None
 
     def _occl_include():
         import numpy as np
@@ -166,7 +182,39 @@ def build_accel(
             == 0
         )
 
-    if backend in ("wide", "stream"):
+    if backend == "sharded":
+        from ..parallel.geometry import build_sharded_wide, place_sharded_wide
+
+        assert mesh is not None, (
+            'intersect_backend="sharded" needs build_accel(..., mesh=...)'
+        )
+        sched = (
+            "fused"
+            if options.wide_leaf_math == "mxu"
+            and options.wide_precision == "bf16x3"
+            else "f32"
+        )
+        d = mesh.shape[shard_axis]
+        swide = place_sharded_wide(
+            build_sharded_wide(
+                accel, d, leaf_size=options.wide_leaf_size, schedule=sched
+            ),
+            mesh,
+            shard_axis,
+        )
+        swide_occl = (
+            place_sharded_wide(
+                build_sharded_wide(
+                    accel, d, leaf_size=options.wide_leaf_size,
+                    include=_occl_include(), schedule=sched,
+                ),
+                mesh,
+                shard_axis,
+            )
+            if scene.has_alpha_mask
+            else swide
+        )
+    elif backend in ("wide", "stream"):
         if backend == "stream":
             ls = options.stream_leaf_size
         else:
@@ -219,13 +267,17 @@ def build_accel(
             table = _slot_order_table(table, slot_tri)
         return table
 
+    if wide is not None:
+        slot_tri = wide.slot_tri
+    elif swide is not None:
+        slot_tri = swide.slot_tri.reshape(-1)  # global slot -> global tri
+    else:
+        slot_tri = None
     return AccelPack(
         accel=accel,
         occl_accel=occl_accel,
         shade_table=(
-            jax.jit(_build_table)(
-                scene, accel, wide.slot_tri if wide is not None else None
-            )
+            jax.jit(_build_table)(scene, accel, slot_tri)
             if static_shading
             else None
         ),
@@ -236,6 +288,10 @@ def build_accel(
         wide=wide,
         wide_occl=wide_occl,
         backend=backend,
+        swide=swide,
+        swide_occl=swide_occl,
+        mesh=mesh,
+        shard_axis=shard_axis,
     )
 
 
@@ -243,6 +299,8 @@ def make_context(
     options: RenderOptions,
     scene: Scene | None = None,
     static_shading: bool = True,
+    mesh=None,
+    shard_axis: str = "dp",
 ) -> RenderContext:
     return RenderContext(
         tables=build_tables(
@@ -254,7 +312,10 @@ def make_context(
         ),
         ms_lut=multiscatter_lut_packed(),
         accel_pack=(
-            build_accel(scene, options, static_shading=static_shading)
+            build_accel(
+                scene, options, static_shading=static_shading,
+                mesh=mesh, shard_axis=shard_axis,
+            )
             if scene is not None
             else None
         ),
@@ -439,6 +500,30 @@ def _make_wide_intersectors(
     return _shape_wrap(closest), _shape_wrap(any_hit)
 
 
+def _make_sharded_geo_intersectors(pack: AccelPack, options: RenderOptions):
+    """(closest, any) over the host-sharded wide-BVH forest: shard_map
+    over ``pack.mesh[pack.shard_axis]``, full wavefront replicated, (t,
+    global slot) min-reduced over the axis.  Slot ids index the
+    concatenated slot-ordered shade table directly."""
+    from ..parallel.geometry import make_sharded_wide_intersectors
+
+    prec = (
+        "bf16x3"
+        if options.wide_precision == "bf16x3"
+        else jax.lax.Precision.HIGHEST
+    )
+    closest, any_hit = make_sharded_wide_intersectors(
+        pack.swide,
+        pack.swide_occl,
+        pack.mesh,
+        axis=pack.shard_axis,
+        ray_tile=options.wide_ray_tile,
+        precision=prec,
+        interpret=jax.default_backend() in ("cpu", "gpu"),
+    )
+    return _shape_wrap(closest), _shape_wrap(any_hit)
+
+
 def _make_bvh_intersectors(pack: AccelPack, options: RenderOptions):
     """(closest, any) over the prebuilt BVH traversal kernels."""
     rt = options.pallas_ray_tile
@@ -514,6 +599,34 @@ def _make_intersectors(accel, occl_accel, options: RenderOptions):
             )
 
     return _shape_wrap(closest), _shape_wrap(any_hit)
+
+
+@jax.custom_vjp
+def _sort_f32_planes(key, *planes):
+    """Sort f32 ``planes`` by ``key`` (one multi-operand lax.sort: the
+    payload moves with the keys — no gathers).  The custom VJP applies the
+    INVERSE permutation by sorting the cotangents with the saved order as
+    the key (sorting (order, ct) by order puts ct back in original lane
+    order), instead of the default sort-transpose which lowers to one
+    scatter per plane (~11 ms x planes x bounces at 2M rays on v5e)."""
+    return jax.lax.sort((key,) + planes, num_keys=1)[1:]
+
+
+def _sort_f32_planes_fwd(key, *planes):
+    iota = jax.lax.iota(jnp.int32, key.shape[0])
+    out = jax.lax.sort((key, iota) + planes, num_keys=1)
+    return out[2:], out[1]  # sorted planes; residual = the order
+
+
+def _sort_f32_planes_bwd(order, cts):
+    import numpy as np
+
+    restored = jax.lax.sort((order,) + tuple(cts), num_keys=1)[1:]
+    key_ct = np.zeros(order.shape, jax.dtypes.float0)  # int key: no grad
+    return (key_ct,) + restored
+
+
+_sort_f32_planes.defvjp(_sort_f32_planes_fwd, _sort_f32_planes_bwd)
 
 
 def _part1by2(x):
@@ -614,9 +727,17 @@ def render_pass(
                 shade_table = _slot_order_table(
                     shade_table, pack.wide.slot_tri
                 )
+            elif pack.backend == "sharded":
+                shade_table = _slot_order_table(
+                    shade_table, pack.swide.slot_tri.reshape(-1)
+                )
         if pack.backend in ("wide", "stream"):
             closest_fn, any_fn = _make_wide_intersectors(
                 pack, options, stream=pack.backend == "stream"
+            )
+        elif pack.backend == "sharded":
+            closest_fn, any_fn = _make_sharded_geo_intersectors(
+                pack, options
             )
         elif pack.backend == "bvh":
             closest_fn, any_fn = _make_bvh_intersectors(pack, options)
@@ -689,6 +810,10 @@ def render_pass(
                 shade_table = _slot_order_table(
                     shade_table, pack.wide.slot_tri
                 )
+            elif pack is not None and pack.backend == "sharded":
+                shade_table = _slot_order_table(
+                    shade_table, pack.swide.slot_tri.reshape(-1)
+                )
         t, tid, hit = closest_fn(org, direction, eps)
         rows = gather_rows(shade_table, jnp.maximum(tid, 0))
         front = direction.dot(rows.vec(GEO_N)) < 0.0
@@ -721,14 +846,12 @@ def render_pass(
             "wide" if _use_pallas(options, scene.geometry.num_triangles)
             else "xla"
         )
-        # The sort burst (key + argsort + ~13 permutes of the carry) costs
-        # ~370 ms at 2M rays on v5e — XLA's gather pays ~14 ms per 2M-index
-        # take regardless of locality.  Sorted traversal saves ~150 ms per
-        # bounce on the 4k-triangle bench scene, so sorting only pays once
-        # traversal dominates: large scenes (the "stream" tier and big
-        # "wide" scenes).
-        big = scene.geometry.num_triangles >= 100_000
-        sort_mode = big and backend in ("wide", "stream", "bvh", "pallas")
+        # The multi-operand lax.sort burst costs ~27 ms/bounce at 2M rays
+        # on v5e while sorted traversal saves 100-300 ms/bounce even on
+        # the 4k-triangle bench scene (tpu_perm_probe2.py,
+        # tpu_sort_probe.py: closest 509 -> 88 ms/pass, any-hit
+        # 203 -> 57) — a clear win for every TPU kernel backend.
+        sort_mode = backend in ("wide", "stream", "bvh", "pallas", "sharded")
     else:
         sort_mode = bool(options.sort_bounces)
     sort_on = sort_mode and options.max_ray_depth > 1
@@ -740,7 +863,13 @@ def render_pass(
     # The named-save remat policy (below) only engages for the TPU kernel
     # backends; the checkpoint_name markers themselves measurably slow the
     # CPU/XLA compile (~2x on the grad graph), so they are gated the same.
-    _tpu_kernels = pack is not None and pack.backend in ("wide", "stream")
+    _tpu_kernels = pack is not None and (
+        pack.backend in ("wide", "stream")
+        or (
+            pack.backend == "sharded"
+            and jax.default_backend() not in ("cpu", "gpu")
+        )
+    )
     _name = (
         (lambda x: checkpoint_name(x, "traversal"))
         if _tpu_kernels
@@ -754,20 +883,49 @@ def render_pass(
         if do_sort:
             # Reorder the whole wavefront for traversal coherence (the
             # permutation is undone at accumulation time via ``pix``).
+            # ONE multi-operand lax.sort moves the key and every carry
+            # plane together — 26.5 ms/bounce on v5e at 2M rays, vs
+            # ~370 ms for argsort + per-plane gathers (round-4 status
+            # quo) and ~51 ms for argsort + a packed (16, R) take
+            # (tpu_perm_probe2.py).  This is what flips sorting from a
+            # net loss to a ~5x traversal win on the bench scene.
             with jax.named_scope("sort_wavefront"):
-                key = _wavefront_sort_key(org, direction, active, lo, hi)
-                order = jnp.argsort(key.reshape(-1))
-                perm = lambda a: jnp.take(a.reshape(-1), order).reshape(shape2)
-                org = org.map(perm)
-                direction = direction.map(perm)
-                weight = weight.map(perm)
-                contrib = contrib.map(perm)
-                env_on_miss = perm(env_on_miss)
-                active = perm(active)
-                path_len = perm(path_len)
-                seq_id = perm(seq_id)
-                seq_off = perm(seq_off)
-                pix = perm(pix)
+                key = _wavefront_sort_key(
+                    org, direction, active, lo, hi
+                ).reshape(-1)
+                # Differentiable planes ride the custom-VJP sort (inverse
+                # permutation by a second sort in the backward pass);
+                # integer/bool planes ride a plain stable sort on the same
+                # key (identical permutation, no tangents to transpose).
+                f32 = _sort_f32_planes(
+                    key,
+                    *(
+                        p.reshape(-1)
+                        for p in (
+                            org.x, org.y, org.z,
+                            direction.x, direction.y, direction.z,
+                            weight.x, weight.y, weight.z,
+                            contrib.x, contrib.y, contrib.z,
+                            path_len,
+                        )
+                    ),
+                )
+                ints = jax.lax.sort(
+                    (key,)
+                    + tuple(
+                        p.reshape(-1)
+                        for p in (env_on_miss, active, seq_id, seq_off, pix)
+                    ),
+                    num_keys=1,
+                )[1:]
+                (org, direction, weight, contrib) = (
+                    Vec3(*(o.reshape(shape2) for o in f32[i : i + 3]))
+                    for i in (0, 3, 6, 9)
+                )
+                path_len = f32[12].reshape(shape2)
+                (env_on_miss, active, seq_id, seq_off, pix) = (
+                    o.reshape(shape2) for o in ints
+                )
 
         # Stage names surface in xprof traces (--trace / jax.profiler),
         # the per-stage breakdown SURVEY section 5 asks for.
