@@ -155,6 +155,66 @@ def main() -> None:
             file=sys.stderr,
         )
 
+    # Large-scene row (BASELINE.md config 5 regime): ~300k-triangle
+    # displaced-sphere scene through the HBM-streaming wide-BVH backend —
+    # the tier where traversal dominates real workloads.  The 4k-triangle
+    # Cornell number alone says nothing about it.
+    large = None
+    if os.environ.get("BENCH_LARGE", "1") != "0":
+        import numpy as np
+
+        from heatray_tpu.scene.builtin import high_poly
+        from heatray_tpu.scene.geometry import scene_aabb
+        from heatray_tpu.utils.framing import frame_scene
+
+        scene_l = high_poly()
+        n_tris = int(scene_l.geometry.num_triangles)
+        camera_l = frame_scene(
+            np.asarray(scene_aabb(scene_l.geometry)), width, height,
+            theta=0.35,
+        )
+        ctx_l = make_context(options, scene_l)
+        t0 = time.time()
+        a1, stats_l = render_pass(
+            scene_l, camera_l, ctx_l, options, FrameGlobals.create(0),
+            accum * 0.0, with_stats=True,
+        )
+        rays_l = int(stats_l["rays"])
+        jax.block_until_ready(a1)
+        print(
+            f"[bench] large scene: {n_tris} tris "
+            f"({ctx_l.accel_pack.backend} backend), rays/pass = "
+            f"{rays_l/1e6:.1f} M (compile+pass {time.time()-t0:.1f}s)",
+            file=sys.stderr,
+        )
+        al = render_pass(
+            scene_l, camera_l, ctx_l, options, FrameGlobals.create(1),
+            accum * 0.0,
+        )
+        jax.block_until_ready(al)
+
+        def run_chain_l(n: int) -> float:
+            a = accum * 0.0
+            t0 = time.time()
+            for i in range(n):
+                a = render_pass(
+                    scene_l, camera_l, ctx_l, options,
+                    FrameGlobals.create(2 + i), a,
+                )
+            np.asarray(a)
+            return time.time() - t0
+
+        run_chain_l(1)
+        lt1 = run_chain_l(2)
+        lt2 = run_chain_l(10)
+        dt_l = max((lt2 - lt1) / 8, 1e-9)
+        large = rays_l / dt_l / 1e6
+        print(
+            f"[bench] large-scene slope: {dt_l*1e3:.1f} ms/pass -> "
+            f"{large:.1f} Mrays/s",
+            file=sys.stderr,
+        )
+
     result = {
         "metric": "fwd path-tracing throughput, Cornell box 1080p depth 4",
         "value": round(mrays, 2),
@@ -163,6 +223,9 @@ def main() -> None:
     }
     if bwd_mrays is not None:
         result["fwd_bwd_mrays_per_s"] = round(bwd_mrays, 2)
+    if large is not None:
+        result["large_scene_mrays_per_s"] = round(large, 2)
+        result["large_scene_triangles"] = n_tris
     print(json.dumps(result))
 
 

@@ -39,9 +39,19 @@ def _add_common(p: argparse.ArgumentParser):
 
 
 def _setup_backend(args):
-    if args.cpu:
-        import jax
+    import os
 
+    import jax
+
+    # Persistent compilation cache: the full pass graph costs minutes to
+    # compile on a (remote) TPU; cache executables across processes so
+    # repeat renders and the interactive loop skip it entirely.
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get("JAX_COMPILATION_CACHE_DIR", "/tmp/heatray_jax_cache"),
+    )
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if args.cpu:
         jax.config.update("jax_platforms", "cpu")
 
 

@@ -169,6 +169,14 @@ class InteractiveRenderer:
     ):
         self.scene = scene
         self.camera = camera
+        # Interactive sessions are compile-latency-sensitive: every
+        # RenderOptions edit retraces the pass, and the multi-operand
+        # bounce sort costs ~3.5 min to compile at 1080p vs ~35 s for the
+        # packed-gather impl (tpu_sortimpl_bench.py) at a ~25% per-pass
+        # cost — the right trade for a live preview.  Explicit sort_impl
+        # choices are honored.
+        if options.sort_impl == "auto":
+            options = dataclasses.replace(options, sort_impl="take")
         self.options = options
         self.post = post or PostProcessingParams()
         self.viewer = viewer

@@ -119,6 +119,14 @@ class RenderOptions:
     # bit-identical either way — sorting is an exact permutation — but the
     # argsort is pure overhead for the XLA/CPU path).
     sort_bounces: bool | str = "auto"
+    # HOW the bounce reorder is applied: "multisort" (one multi-operand
+    # lax.sort moves every carry plane with the key — fastest per pass,
+    # ~30 ms/bounce at 2M rays, but variadic-sort COMPILE time scales
+    # with payload bytes: ~4 min for the full pass graph), "take" (sort
+    # (key, iota) + packed gathers — ~52 ms/bounce but compiles in
+    # seconds), or "auto" (multisort: per-pass speed wins for sustained
+    # renders; the persistent compilation cache amortizes the compile).
+    sort_impl: str = "auto"
     # Rematerialize each bounce in the backward pass (jax.checkpoint): the
     # QMC draws and shade intermediates are cheap to recompute and their
     # per-depth residuals otherwise OOM a 16 GB chip at 1080p.

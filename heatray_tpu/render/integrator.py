@@ -629,6 +629,39 @@ def _sort_f32_planes_bwd(order, cts):
 _sort_f32_planes.defvjp(_sort_f32_planes_fwd, _sort_f32_planes_bwd)
 
 
+@jax.custom_vjp
+def _permute_f32_planes(order, *planes):
+    """Apply a permutation to f32 planes with ONE packed (P, R) gather.
+
+    Slower per bounce than the multi-operand sort (~52 vs ~30 ms at 2M
+    rays on v5e) but ~10x cheaper to COMPILE: variadic-sort compile time
+    scales with payload bytes on the TPU compiler (tpu_compile_probe2.py:
+    13 payloads = 143 s) while gathers compile in seconds.  The VJP
+    gathers cotangents by the inverse permutation — no scatters."""
+    packed = jnp.stack(planes, axis=0)
+    out = jnp.take(packed, order, axis=1)
+    return tuple(out[i] for i in range(len(planes)))
+
+
+def _permute_f32_planes_fwd(order, *planes):
+    return _permute_f32_planes(order, *planes), order
+
+
+def _permute_f32_planes_bwd(order, cts):
+    import numpy as np
+
+    inv = jnp.zeros_like(order).at[order].set(
+        jax.lax.iota(jnp.int32, order.shape[0])
+    )
+    packed = jnp.stack(cts, axis=0)
+    out = jnp.take(packed, inv, axis=1)
+    order_ct = np.zeros(order.shape, jax.dtypes.float0)
+    return (order_ct,) + tuple(out[i] for i in range(len(cts)))
+
+
+_permute_f32_planes.defvjp(_permute_f32_planes_fwd, _permute_f32_planes_bwd)
+
+
 def _part1by2(x):
     """Spread the low 6 bits of ``x`` so they interleave 3 ways (Morton)."""
     x = x & 0x3F
@@ -855,6 +888,9 @@ def render_pass(
     else:
         sort_mode = bool(options.sort_bounces)
     sort_on = sort_mode and options.max_ray_depth > 1
+    sort_impl = (
+        options.sort_impl if options.sort_impl != "auto" else "multisort"
+    )
     if sort_on:
         src = pack.accel if pack is not None else accel
         lo = jax.lax.stop_gradient(jnp.min(src.tri_min, axis=1))
@@ -893,38 +929,76 @@ def render_pass(
                 key = _wavefront_sort_key(
                     org, direction, active, lo, hi
                 ).reshape(-1)
-                # Differentiable planes ride the custom-VJP sort (inverse
-                # permutation by a second sort in the backward pass);
-                # integer/bool planes ride a plain stable sort on the same
-                # key (identical permutation, no tangents to transpose).
-                f32 = _sort_f32_planes(
-                    key,
-                    *(
-                        p.reshape(-1)
-                        for p in (
-                            org.x, org.y, org.z,
-                            direction.x, direction.y, direction.z,
-                            weight.x, weight.y, weight.z,
-                            contrib.x, contrib.y, contrib.z,
-                            path_len,
-                        )
-                    ),
+                # path_len only feeds the ray-cone mip LOD; when cones are
+                # off it is never read, so skip moving it (one payload
+                # plane less = less HBM traffic and less sort compile).
+                f32_planes = tuple(
+                    p.reshape(-1)
+                    for p in (
+                        org.x, org.y, org.z,
+                        direction.x, direction.y, direction.z,
+                        weight.x, weight.y, weight.z,
+                        contrib.x, contrib.y, contrib.z,
+                    )
+                    + ((path_len,) if use_cone else ())
                 )
-                ints = jax.lax.sort(
-                    (key,)
-                    + tuple(
-                        p.reshape(-1)
+                # Integer/bool planes pack into two i32 words (pix is
+                # 0..R-1 < 2^26; env/active one bit each; seq_id 4 bits;
+                # seq_off up to max_passes stays its own word): fewer
+                # sort payloads = less compile AND less HBM traffic.
+                packable = r < (1 << 26)
+                if packable:
+                    word = (
+                        pix.reshape(-1)
+                        | (env_on_miss.reshape(-1).astype(jnp.int32) << 26)
+                        | (active.reshape(-1).astype(jnp.int32) << 27)
+                        | (seq_id.reshape(-1) << 28)
+                    )
+                    int_planes = (word, seq_off.reshape(-1))
+                else:
+                    int_planes = tuple(
+                        p.reshape(-1).astype(jnp.int32)
                         for p in (env_on_miss, active, seq_id, seq_off, pix)
-                    ),
-                    num_keys=1,
-                )[1:]
+                    )
+                if sort_impl == "multisort":
+                    # Differentiable planes ride the custom-VJP
+                    # multi-operand sort (inverse permutation by a second
+                    # sort in the backward pass); int planes ride a plain
+                    # stable sort on the same key (identical permutation,
+                    # no tangents to transpose).
+                    f32 = _sort_f32_planes(key, *f32_planes)
+                    ints = jax.lax.sort(
+                        (key,) + int_planes, num_keys=1
+                    )[1:]
+                else:  # "take": compile-cheap packed gathers
+                    _, order = jax.lax.sort(
+                        (key, jax.lax.iota(jnp.int32, r)), num_keys=1
+                    )
+                    f32 = _permute_f32_planes(order, *f32_planes)
+                    ints = tuple(
+                        jnp.take(
+                            jnp.stack(int_planes, axis=0), order, axis=1
+                        )
+                    )
+                if packable:
+                    word, seq_off = ints
+                    pix = word & ((1 << 26) - 1)
+                    env_on_miss = (word >> 26) & 1 > 0
+                    active = (word >> 27) & 1 > 0
+                    seq_id = (word >> 28) & 0xF
+                else:
+                    env_on_miss, active, seq_id, seq_off, pix = ints
+                    env_on_miss = env_on_miss > 0
+                    active = active > 0
                 (org, direction, weight, contrib) = (
                     Vec3(*(o.reshape(shape2) for o in f32[i : i + 3]))
                     for i in (0, 3, 6, 9)
                 )
-                path_len = f32[12].reshape(shape2)
+                if use_cone:
+                    path_len = f32[12].reshape(shape2)
                 (env_on_miss, active, seq_id, seq_off, pix) = (
-                    o.reshape(shape2) for o in ints
+                    o.reshape(shape2)
+                    for o in (env_on_miss, active, seq_id, seq_off, pix)
                 )
 
         # Stage names surface in xprof traces (--trace / jax.profiler),

@@ -11,7 +11,7 @@ Usage:
   JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
       python scaling_bench.py cpu
   python scaling_bench.py tpu     # single real chip
-  python scaling_bench.py merge   # combine partial JSONs -> SCALING_r03.json
+  python scaling_bench.py merge   # combine partial JSONs -> SCALING_r05.json
 
 North star (BASELINE.md): >= 80% efficiency at >= 2 hosts.
 """
@@ -23,7 +23,7 @@ import os
 import sys
 import time
 
-OUT = "SCALING_r04.json"
+OUT = "SCALING_r05.json"
 
 
 def _timed_passes(run, n=4):
@@ -134,21 +134,39 @@ def bench_cpu() -> dict:
     t0 = time.time()
     render_sharded_2d(scene, camera, ctx0, options, mesh2, num_passes=4)
     compile_and_first = time.time() - t0
+    c0 = os.times()
     t0 = time.time()
     a = render_sharded_2d(scene, camera, ctx0, options, mesh2, num_passes=8)
     jax.block_until_ready(a)
     dt8 = time.time() - t0  # 2 rounds -> per-round time/round
+    c1 = os.times()
+    cpu8 = c1.user + c1.system - c0.user - c0.system
     per_round = dt8 / 2.0
     # One sp round renders 4 passes concurrently; serial cost would be
-    # 4 * dp2 pass time.
-    eff_sp = (4 * dp_times[2]) / (4 * per_round)
+    # 4 * dp2 pass time.  On a host with fewer PHYSICAL cores than mesh
+    # devices the 4 concurrent sp slices timeshare the same cores, so the
+    # WALL number collapses by construction (r3's unexplained 0.153);
+    # cpu-seconds per pass is the core-count-independent signal — flat
+    # total vs dp2 = the sp axis adds no partitioning/communication
+    # overhead beyond its one final psum.
+    eff_sp_wall = (4 * dp_times[2]) / (4 * per_round)
+    cpu_per_pass = cpu8 / 8.0
+    eff_sp_cpu = dp_cpu[2] / max(cpu_per_pass, 1e-9)
     results["sp4xdp2"] = {
         "round_ms": round(per_round * 1e3, 1),
         "passes_per_round": 4,
-        "efficiency_vs_dp2_serial": round(eff_sp, 3),
+        "wall_efficiency_vs_dp2_serial": round(eff_sp_wall, 3),
+        "cpu_s_per_pass": round(cpu_per_pass, 3),
+        "cpu_efficiency_vs_dp2": round(eff_sp_cpu, 3),
+        "note": (
+            "wall efficiency is core-bound on this 2-core host (4 "
+            "concurrent sp slices timeshare 2 cores); cpu-seconds "
+            "efficiency isolates the partitioning overhead"
+        ),
     }
     print(
-        f"sp4xdp2: {per_round*1e3:.1f} ms/round (4 passes) eff={eff_sp:.2f}",
+        f"sp4xdp2: {per_round*1e3:.1f} ms/round (4 passes) "
+        f"eff_wall={eff_sp_wall:.2f} eff_cpu={eff_sp_cpu:.2f}",
         file=sys.stderr,
     )
     return {"cpu_virtual_mesh": results}

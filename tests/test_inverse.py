@@ -174,3 +174,54 @@ class TestEndToEnd:
             steps=25, learning_rate=15.0, num_passes=1, rotate_samples=False,
         )
         assert losses[-1] < losses[0] * 0.5, losses
+
+
+class TestSortedGradients:
+    """Bounce-wavefront sorting must be gradient-transparent: both sort
+    implementations (multi-operand sort with the inverse-sort custom VJP,
+    and the packed-gather variant) produce the same material gradients as
+    the unsorted pass.  Gradient-graph compiles cost minutes on CPU, so
+    the grad check is gated with the slow suite; the forward permutation
+    exactness runs in test_render for every impl."""
+
+    @pytest.mark.skipif(
+        __import__("os").environ.get("HEATRAY_SLOW_TESTS", "0") != "1",
+        reason="grad-graph compiles are slow on CPU; HEATRAY_SLOW_TESTS=1",
+    )
+    @pytest.mark.parametrize("impl", ["multisort", "take"])
+    def test_grads_match_unsorted(self, impl):
+        import dataclasses
+
+        from heatray_tpu.diff.inverse import apply_material_params
+        from heatray_tpu.options import FrameGlobals
+        from heatray_tpu.render.integrator import render_pass
+
+        scene = cornell_box(light="point", with_spheres=False)
+        camera = orbit_camera(24, 24, distance=6.2, focal_length_mm=35.0)
+        base = RenderOptions(width=24, height=24, max_render_passes=2,
+                             max_ray_depth=2)
+        params = {"base_color": scene.materials.base_color,
+                  "roughness": scene.materials.roughness}
+        accum0 = jnp.zeros((4, 24, 24), jnp.float32)
+
+        def grad_of(opts):
+            ctx = make_context(opts, scene, static_shading=False)
+
+            def loss(p):
+                s = apply_material_params(scene, p)
+                a = render_pass(s, camera, ctx, opts,
+                                FrameGlobals.create(0), accum0)
+                img = a[:3] / jnp.maximum(a[3:], 1.0)
+                return jnp.mean(img * img)
+
+            return jax.grad(loss)(params)
+
+        gu = grad_of(dataclasses.replace(base, sort_bounces=False))
+        gs = grad_of(dataclasses.replace(base, sort_bounces=True,
+                                         sort_impl=impl))
+        for k in gu:
+            mag = np.abs(np.asarray(gu[k])).max()
+            np.testing.assert_allclose(
+                np.asarray(gs[k]), np.asarray(gu[k]),
+                rtol=1e-4, atol=1e-5 * max(mag, 1.0), err_msg=k,
+            )

@@ -252,9 +252,11 @@ class TestDifferentiability:
 
 
 class TestWavefrontSorting:
-    def test_sorted_equals_unsorted(self):
+    @pytest.mark.parametrize("impl", ["multisort", "take"])
+    def test_sorted_equals_unsorted(self, impl):
         """Bounce-wavefront sorting is an exact permutation: forcing it on
-        (as the TPU backends do) must reproduce the unsorted render."""
+        (as the TPU backends do) must reproduce the unsorted render, for
+        both the multi-operand-sort and the packed-gather impls."""
         import dataclasses
 
         from heatray_tpu.render import render, resolve
@@ -270,7 +272,8 @@ class TestWavefrontSorting:
             num_passes=2,
         )
         a_on, _ = render(
-            scene, cam, dataclasses.replace(base, sort_bounces=True),
+            scene, cam,
+            dataclasses.replace(base, sort_bounces=True, sort_impl=impl),
             num_passes=2,
         )
         np.testing.assert_allclose(
