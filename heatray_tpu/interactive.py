@@ -424,8 +424,17 @@ class InteractiveRenderer:
             self.ctx = make_context(self.options, self.scene)
             return True
         if kind == "options":
+            # The renderUI options panel analog
+            # (``HeatrayRenderer.cpp:948-1599``): any RenderOptions field,
+            # plus the firefly clamp (a FrameGlobals value).
+            if "max_channel_value" in edit:
+                self.max_channel_value = float(edit["max_channel_value"])
             fields = {f.name for f in dataclasses.fields(RenderOptions)}
             updates = {k: v for k, v in edit.items() if k in fields}
+            if "aov" in updates:
+                from .options import AOV
+
+                updates["aov"] = AOV(updates["aov"])
             if updates:
                 self.options = dataclasses.replace(self.options, **updates)
                 self.ctx = make_context(self.options, self.scene)

@@ -77,7 +77,70 @@ def sunset(height: int = 256, width: int = 512) -> np.ndarray:
     return sky.astype(np.float32)
 
 
-BUILTIN_ENVIRONMENTS = {"studio": studio, "sunset": sunset}
+def daylight(height: int = 256, width: int = 512) -> np.ndarray:
+    """Clear midday sky: Rayleigh-ish blue gradient (brighter toward the
+    horizon), circumsolar glow + sun disc, warm horizon haze, and a dim
+    ground bounce — the all-purpose outdoor IBL."""
+    x, y, z = _latlong_dirs(height, width)
+    up = np.clip(y, 0.0, 1.0)
+    down = np.clip(-y, 0.0, 1.0)
+    # Zenith deep blue -> horizon pale blue (1/(cos+k) haze ramp).
+    haze = 1.0 / (up + 0.25)
+    zen = np.array([0.18, 0.34, 0.85], np.float32)
+    hor = np.array([0.65, 0.78, 0.95], np.float32)
+    w = np.clip((haze - 0.8) / 3.2, 0.0, 1.0)[..., None]
+    sky = zen[None, None] * (1.0 - w) + hor[None, None] * w
+    sun_dir = (0.45, 0.65, -0.6)
+    glow = _soft_box(x, y, z, sun_dir, 0.35, 0.5)
+    disc = _soft_box(x, y, z, sun_dir, 0.018, 0.004)
+    sky = sky + glow[..., None] * np.array([1.2, 1.1, 0.8], np.float32)
+    sky = sky + disc[..., None] * np.array([900.0, 850.0, 700.0], np.float32)
+    ground = np.array([0.22, 0.2, 0.17], np.float32)
+    sky = sky * (1.0 - down[..., None]) + ground[None, None] * down[..., None]
+    return sky.astype(np.float32)
+
+
+def night(height: int = 256, width: int = 512) -> np.ndarray:
+    """Moonlit night: near-black blue dome, a cool moon disc, and a
+    deterministic scatter of stars (hash-based, no RNG state)."""
+    x, y, z = _latlong_dirs(height, width)
+    up = np.clip(y, 0.0, 1.0)
+    down = np.clip(-y, 0.0, 1.0)
+    base = (
+        np.array([0.004, 0.006, 0.014], np.float32)[None, None]
+        * (0.4 + 0.6 * up[..., None])
+    )
+    base *= (1.0 - 0.95 * down[..., None]).astype(np.float32)
+    moon = _soft_box(x, y, z, (-0.35, 0.55, -0.75), 0.025, 0.006)
+    glow = _soft_box(x, y, z, (-0.35, 0.55, -0.75), 0.2, 0.4)
+    img = base + glow[..., None] * np.array(
+        [0.02, 0.025, 0.04], np.float32
+    )
+    img += moon[..., None] * np.array([18.0, 19.5, 22.0], np.float32)
+    # Stars: FNV-style texel hash, thresholded, above the horizon only.
+    yy, xx = np.meshgrid(
+        np.arange(height, dtype=np.uint32),
+        np.arange(width, dtype=np.uint32),
+        indexing="ij",
+    )
+    h = (xx * np.uint32(374761393) + yy * np.uint32(668265263)) ^ np.uint32(
+        0x9E3779B9
+    )
+    h = (h ^ (h >> np.uint32(13))) * np.uint32(1274126177)
+    r01 = ((h >> np.uint32(8)) & np.uint32(0xFFFF)).astype(np.float32) / 65535.0
+    stars = np.where(r01 > 0.9985, (r01 - 0.9985) / 0.0015, 0.0) ** 2
+    img += (stars * (y > 0.05))[..., None] * np.array(
+        [2.5, 2.5, 2.8], np.float32
+    )
+    return img.astype(np.float32)
+
+
+BUILTIN_ENVIRONMENTS = {
+    "studio": studio,
+    "sunset": sunset,
+    "daylight": daylight,
+    "night": night,
+}
 
 
 def get_environment(name: str, height: int = 256, width: int = 512) -> np.ndarray:

@@ -121,6 +121,56 @@ def compute_vertex_normals(positions: np.ndarray, indices: np.ndarray) -> np.nda
     return (normals / np.maximum(norm, 1e-20)).astype(np.float32)
 
 
+def compute_tangents(
+    positions: np.ndarray,
+    normals: np.ndarray,
+    uvs: np.ndarray,
+    indices: np.ndarray,
+):
+    """Per-vertex tangent/bitangent frames from UV derivatives (Lengyel's
+    method): the ``aiProcess_CalcTangentSpace`` analog the reference gets
+    for free from Assimp (``AssimpMeshProvider.cpp:683``), for formats
+    that ship UVs + a normal map but no authored tangents.
+
+    Accumulates each triangle's UV-gradient tangent direction onto its
+    vertices, Gram-Schmidt-orthonormalizes against the vertex normal, and
+    takes the bitangent as ``cross(n, t)`` with the handedness of the
+    accumulated frame.  Returns (tangents (V, 3), bitangents (V, 3))."""
+    v0, v1, v2 = (positions[indices[:, k]] for k in range(3))
+    w0, w1, w2 = (uvs[indices[:, k]] for k in range(3))
+    e1, e2 = v1 - v0, v2 - v0
+    du1, dv1 = w1[:, 0] - w0[:, 0], w1[:, 1] - w0[:, 1]
+    du2, dv2 = w2[:, 0] - w0[:, 0], w2[:, 1] - w0[:, 1]
+    det = du1 * dv2 - du2 * dv1
+    inv = np.where(np.abs(det) > 1e-12, 1.0 / np.where(det == 0, 1, det), 0.0)
+    tdir = (e1 * dv2[:, None] - e2 * dv1[:, None]) * inv[:, None]
+    bdir = (e2 * du1[:, None] - e1 * du2[:, None]) * inv[:, None]
+
+    tacc = np.zeros_like(positions, dtype=np.float64)
+    bacc = np.zeros_like(positions, dtype=np.float64)
+    for k in range(3):
+        np.add.at(tacc, indices[:, k], tdir)
+        np.add.at(bacc, indices[:, k], bdir)
+
+    n = normals.astype(np.float64)
+    t = tacc - n * np.sum(n * tacc, axis=1, keepdims=True)
+    tlen = np.linalg.norm(t, axis=1, keepdims=True)
+    # Degenerate UVs: fall back to any frame orthogonal to n.
+    fallback = np.cross(n, np.where(np.abs(n[:, :1]) < 0.9,
+                                    [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]))
+    fallback /= np.maximum(
+        np.linalg.norm(fallback, axis=1, keepdims=True), 1e-20
+    )
+    t = np.where(tlen > 1e-8, t / np.maximum(tlen, 1e-20), fallback)
+    hand = np.where(
+        np.sum(np.cross(n, t) * bacc, axis=1, keepdims=True) < 0.0,
+        -1.0,
+        1.0,
+    )
+    b = np.cross(n, t) * hand
+    return t.astype(np.float32), b.astype(np.float32)
+
+
 def _morton_order(positions: np.ndarray, indices: np.ndarray) -> np.ndarray:
     """Triangle permutation sorting centroids along a 30-bit Morton curve.
 
@@ -171,16 +221,26 @@ def merge_meshes(meshes: List[MeshData], material_ids: List[int]) -> Geometry:
             if mesh.uvs is not None
             else np.zeros((v, 2), np.float32)
         )
-        tan.append(
-            mesh.tangents.astype(np.float32)
-            if mesh.tangents is not None
-            else np.zeros((v, 3), np.float32)
-        )
-        bit.append(
-            mesh.bitangents.astype(np.float32)
-            if mesh.bitangents is not None
-            else np.zeros((v, 3), np.float32)
-        )
+        if mesh.tangents is not None:
+            tangents = mesh.tangents.astype(np.float32)
+            bitangents = (
+                mesh.bitangents.astype(np.float32)
+                if mesh.bitangents is not None
+                else np.cross(mesh.normals, tangents).astype(np.float32)
+            )
+        elif mesh.uvs is not None:
+            # No authored tangents but UVs exist: generate the frame
+            # (aiProcess_CalcTangentSpace analog) so normal mapping works
+            # for OBJ/FBX/PLY-style assets.
+            tangents, bitangents = compute_tangents(
+                mesh.positions, mesh.normals, mesh.uvs.astype(np.float32),
+                mesh.indices,
+            )
+        else:
+            tangents = np.zeros((v, 3), np.float32)
+            bitangents = np.zeros((v, 3), np.float32)
+        tan.append(tangents)
+        bit.append(bitangents)
         col.append(
             mesh.colors.astype(np.float32)
             if mesh.colors is not None

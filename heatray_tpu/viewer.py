@@ -57,6 +57,45 @@ details { margin-top: 4px; }
    env EV <input type="range" id="env" min="-4" max="4" step="0.25" value="0"
     onchange="quick({type: 'env', exposure: parseFloat(this.value)})">
   </div>
+  <div>
+   depth <input type="number" id="depth" min="1" max="30" value="10"
+    style="width:3.5em"
+    onchange="quick({type: 'options', max_ray_depth: parseInt(this.value)})">
+   passes <input type="number" id="passes" min="1" max="8192" value="32"
+    style="width:4.5em"
+    onchange="quick({type: 'options',
+                     max_render_passes: parseInt(this.value)})">
+   sampling <select id="smode"
+    onchange="quick({type: 'options', sample_mode: this.value})">
+    <option>sobol</option><option>halton</option><option>hammersley</option>
+    <option>blue_noise</option><option>random</option>
+   </select>
+   bokeh <select id="bokeh"
+    onchange="quick({type: 'options', bokeh_shape: this.value})">
+    <option>circular</option><option>pentagon</option>
+    <option>hexagon</option><option>octagon</option>
+   </select>
+  </div>
+  <div>
+   AOV <select id="aov"
+    onchange="quick({type: 'options', aov: this.value})">
+    <option>none</option><option>geometric_normals</option>
+    <option>final_normals</option><option>uvs</option><option>tangents</option>
+    <option>bitangents</option><option>normalmap</option>
+    <option>base_color</option><option>emissive</option>
+    <option>roughness</option><option>metallic</option>
+    <option>clearcoat</option><option>clearcoat_roughness</option>
+    <option>clearcoat_normalmap</option><option>shader</option>
+    <option>nans</option><option>infs</option>
+   </select>
+   clamp <input type="number" id="clamp" min="0.1" step="0.5" value="3.14"
+    style="width:4em"
+    onchange="quick({type: 'options',
+                     max_channel_value: parseFloat(this.value)})">
+   <label><input type="checkbox" id="iblock"
+    onchange="quick({type: 'options', interactive_block: this.checked})">
+    3x3 interactive</label>
+  </div>
  </details>
 </div>
 <script>

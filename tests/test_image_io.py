@@ -141,3 +141,20 @@ class TestBuiltinEnvironments:
         from heatray_tpu.scene.environments import get_environment
 
         assert get_environment("sunset") is get_environment("sunset")
+
+    def test_all_builtins_valid(self):
+        import numpy as np
+
+        from heatray_tpu.scene.environments import (
+            BUILTIN_ENVIRONMENTS,
+            get_environment,
+        )
+
+        assert set(BUILTIN_ENVIRONMENTS) == {
+            "studio", "sunset", "daylight", "night",
+        }
+        for name in BUILTIN_ENVIRONMENTS:
+            img = get_environment(name)
+            assert img.shape == (256, 512, 3), name
+            assert np.isfinite(img).all() and img.min() >= 0.0, name
+            assert img.max() > 0.0, name

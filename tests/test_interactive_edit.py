@@ -151,6 +151,27 @@ def test_options_edit(session):
     assert r.options.max_ray_depth == 3
 
 
+def test_options_panel_fields(session):
+    """The renderUI options surface (``HeatrayRenderer.cpp:948-1599``):
+    AOV picker (string -> enum), firefly clamp, sample mode, bokeh,
+    interactive block — all editable through one options message."""
+    from heatray_tpu.options import AOV
+
+    r = make_renderer(session)
+    assert r.apply_edit({
+        "type": "options", "aov": "roughness", "max_channel_value": 5.0,
+        "sample_mode": "halton", "bokeh_shape": "hexagon",
+        "interactive_block": True,
+    })
+    assert r.options.aov == AOV.ROUGHNESS
+    assert r.options.sample_mode == "halton"
+    assert r.options.bokeh_shape == "hexagon"
+    assert r.options.interactive_block
+    assert r.max_channel_value == 5.0
+    r.step()  # renders with the new static config
+    assert np.isfinite(np.asarray(r.accum)).all()
+
+
 def test_load_edit_swaps_scene_and_frames_camera(session, tmp_path):
     """Drag-drop loading (``main.cpp:58``): a ``load`` edit replaces the
     scene and auto-frames the orbit camera from the new AABB."""
