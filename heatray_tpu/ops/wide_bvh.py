@@ -81,7 +81,9 @@ class WideBVH:
       schedules (``_pair_hits`` with bf16x3/HIGHEST precision) and the
       HBM-streaming kernels.
     ``slot_tri``: (C * Tc,) i32 chunk slot -> original triangle id (-1
-    padding).  ``wanchor``: (C, 3) f32 chunk anchor points (SMEM).
+    padding).  ``wanchor``: (3, C) f32 chunk anchor points (SMEM; component-major so the
+    three rows pad to lane multiples instead of C rows padding to 128 scalars
+    each — the (C, 3) layout overflows the 1 MB SMEM past ~2k chunks).
     """
 
     wbox: jnp.ndarray
@@ -240,7 +242,7 @@ def build_wide_bvh(
         waxis=jnp.asarray(waxis),
         w=jnp.asarray(np.ascontiguousarray(w)),
         slot_tri=jnp.asarray(topo.slot_tri),
-        wanchor=jnp.asarray(anchors.T.astype(np.float32)),
+        wanchor=jnp.asarray(anchors.astype(np.float32)),
         leaf_size=tc,
         num_triangles=accel.num_triangles,
     )
@@ -308,9 +310,9 @@ def _closest_kernel(
 
     def pair(chunk, bound):
         anchor = (
-            wanchor_ref[chunk, 0],
-            wanchor_ref[chunk, 1],
-            wanchor_ref[chunk, 2],
+            wanchor_ref[0, chunk],
+            wanchor_ref[1, chunk],
+            wanchor_ref[2, chunk],
         )
         if fused:
             return _pair_hits_fused(
@@ -397,9 +399,9 @@ def _any_kernel(
 
     def pair(chunk, bound):
         anchor = (
-            wanchor_ref[chunk, 0],
-            wanchor_ref[chunk, 1],
-            wanchor_ref[chunk, 2],
+            wanchor_ref[0, chunk],
+            wanchor_ref[1, chunk],
+            wanchor_ref[2, chunk],
         )
         if fused:
             return _pair_hits_fused(
@@ -526,9 +528,9 @@ def _closest_kernel_t(
                 chunk = -2 - code
                 bt = best_ref[...]  # (1, Rt)
                 anchor = (
-                    wanchor_ref[chunk, 0],
-                    wanchor_ref[chunk, 1],
-                    wanchor_ref[chunk, 2],
+                    wanchor_ref[0, chunk],
+                    wanchor_ref[1, chunk],
+                    wanchor_ref[2, chunk],
                 )
                 tm = _pair_hits_t(
                     raysT, w_ref[chunk], tc, t_min, bt.T, anchor
@@ -606,9 +608,9 @@ def _any_kernel_t(
             def _():
                 chunk = -2 - code
                 anchor = (
-                    wanchor_ref[chunk, 0],
-                    wanchor_ref[chunk, 1],
-                    wanchor_ref[chunk, 2],
+                    wanchor_ref[0, chunk],
+                    wanchor_ref[1, chunk],
+                    wanchor_ref[2, chunk],
                 )
                 tm = _pair_hits_t(
                     raysT, w_ref[chunk], tc, t_min, t_max_col, anchor
@@ -803,9 +805,9 @@ def _closest_stream_kernel(
                 ).wait()
                 bt = best_ref[...]
                 anchor = (
-                    wanchor_ref[chunk, 0],
-                    wanchor_ref[chunk, 1],
-                    wanchor_ref[chunk, 2],
+                    wanchor_ref[0, chunk],
+                    wanchor_ref[1, chunk],
+                    wanchor_ref[2, chunk],
                 )
                 tm = _pair_hits(
                     rays, wslots[k], tc, t_min, bt, precision, anchor
@@ -893,9 +895,9 @@ def _any_stream_kernel(
                     w_hbm.at[chunk], wslots.at[k], sems.at[k]
                 ).wait()
                 anchor = (
-                    wanchor_ref[chunk, 0],
-                    wanchor_ref[chunk, 1],
-                    wanchor_ref[chunk, 2],
+                    wanchor_ref[0, chunk],
+                    wanchor_ref[1, chunk],
+                    wanchor_ref[2, chunk],
                 )
                 tm = _pair_hits(
                     rays, wslots[k], tc, t_min, t_max, precision, anchor

@@ -92,7 +92,7 @@ class ShardedWideBVH:
     waxis: jnp.ndarray  # (D, Nw)
     w: jnp.ndarray  # (D, C, K, 3 * Tc)
     slot_tri: jnp.ndarray  # (D, C * Tc) GLOBAL tri ids (-1 pad)
-    wanchor: jnp.ndarray  # (D, C, 3)
+    wanchor: jnp.ndarray  # (D, 3, C)
     slot_offset: jnp.ndarray  # (D,) i32 global slot base (= i * C * Tc)
     leaf_size: int = struct.field(pytree_node=False)
     num_triangles: int = struct.field(pytree_node=False)
@@ -179,7 +179,7 @@ def build_sharded_wide(
             for b, lo in shards
         ]
     ).astype(np.int32)
-    wanchor = np.stack([pad_to(b.wanchor, c, 0, 0.0) for b, _ in shards])
+    wanchor = np.stack([pad_to(b.wanchor, c, 1, 0.0) for b, _ in shards])
     return ShardedWideBVH(
         wbox=jnp.asarray(wbox),
         wchild=jnp.asarray(wchild),

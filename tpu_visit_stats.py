@@ -115,9 +115,9 @@ def _stats_kernel(
                 chunk = -2 - code
                 bt = best_ref[...]
                 anchor = (
-                    wanchor_ref[chunk, 0],
-                    wanchor_ref[chunk, 1],
-                    wanchor_ref[chunk, 2],
+                    wanchor_ref[0, chunk],
+                    wanchor_ref[1, chunk],
+                    wanchor_ref[2, chunk],
                 )
                 tm = _pair_hits(
                     rays, w_ref[chunk], tc, t_min, bt, "bf16x3", anchor
