@@ -924,10 +924,189 @@ def _any_stream_kernel(
     hit_ref[...] = (mint_ref[...] < MISS_T).astype(jnp.int32)
 
 
+def _closest_stream_kernel_t(
+    tc, t_min,
+    rays_ref, wbox_ref, wchild_ref, waxis_ref, w_hbm, wanchor_ref,
+    t_ref, id_ref, stack_ref, best_ref, bid_ref, wslots, sems,
+):
+    """Streaming closest-hit with TRANSPOSED VPU leaf math: the node walk
+    and DMA schedule of ``_closest_stream_kernel``, but each leaf visit
+    runs the exact-f32 broadcast pair test (``_pair_hits_t``) instead of
+    the K=4 MXU contraction.  Requires ``tc % 128 == 0`` (lane tiles)."""
+    rays = rays_ref[...]  # (8, Rt)
+    raysT = rays.T
+    rt = rays.shape[1]
+    invx, invy, invz = _tile_inv_dir(rays)
+    sx, sy, sz = _tile_axis_signs(rays)
+    lane_ids = jax.lax.broadcasted_iota(jnp.int32, (rt, tc), 1)
+
+    best_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
+    bid_ref[...] = jnp.full((1, rt), -1, jnp.int32)
+
+    def cond(carry):
+        return carry[0] >= 0
+
+    def body(carry):
+        i, sp = carry
+        boxes = wbox_ref[i]
+        best_t = best_ref[...]
+        ov = _children_slab(boxes, rays, invx, invy, invz, t_min, best_t)
+        bits = _overlap_bits(ov)
+        axis = waxis_ref[i]
+        sign = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
+
+        # Phase A: start DMAs for ALL live leaf children.
+        for k in range(ARITY):
+            c = jnp.where(sign, k, ARITY - 1 - k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code <= -2)
+
+            @pl.when(live)
+            def _():
+                chunk = -2 - code
+                pltpu.make_async_copy(
+                    w_hbm.at[chunk], wslots.at[k], sems.at[k]
+                ).start()
+
+        # Phase B (near -> far): wait + transposed VPU pair test.
+        for k in range(ARITY):
+            c = jnp.where(sign, k, ARITY - 1 - k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code <= -2)
+
+            @pl.when(live)
+            def _():
+                chunk = -2 - code
+                pltpu.make_async_copy(
+                    w_hbm.at[chunk], wslots.at[k], sems.at[k]
+                ).wait()
+                bt = best_ref[...]  # (1, Rt)
+                anchor = (
+                    wanchor_ref[0, chunk],
+                    wanchor_ref[1, chunk],
+                    wanchor_ref[2, chunk],
+                )
+                tm = _pair_hits_t(raysT, wslots[k], tc, t_min, bt.T, anchor)
+                col_min = jnp.min(tm, axis=1, keepdims=True)  # (Rt, 1)
+                tri = jnp.min(
+                    jnp.where(tm <= col_min, lane_ids, jnp.int32(2**30)),
+                    axis=1,
+                    keepdims=True,
+                )
+                row_min = col_min.T
+                improved = row_min < bt
+                bid_ref[...] = jnp.where(
+                    improved, chunk * tc + tri.T, bid_ref[...]
+                )
+                best_ref[...] = jnp.where(improved, row_min, bt)
+
+        # Phase C (far -> near): push internal children (LIFO pops near).
+        push = jnp.int32(0)
+        for k in range(ARITY):
+            c = jnp.where(sign, ARITY - 1 - k, k)
+            code = wchild_ref[ARITY * i + c]
+            live = (((bits >> c) & 1) > 0) & (code >= 0)
+
+            @pl.when(live)
+            def _():
+                stack_ref[sp + push] = code
+
+            push = push + jnp.where(live, 1, 0)
+
+        sp = sp + push
+        has = sp > 0
+        top = stack_ref[jnp.maximum(sp - 1, 0)]
+        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0)
+
+    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    t_ref[...] = best_ref[...]
+    id_ref[...] = bid_ref[...]
+
+
+def _any_stream_kernel_t(
+    tc, t_min,
+    rays_ref, tmax_ref, wbox_ref, wchild_ref, w_hbm, wanchor_ref,
+    hit_ref, stack_ref, mint_ref, wslots, sems,
+):
+    """Streaming any-hit with transposed VPU leaf math (see closest)."""
+    rays = rays_ref[...]
+    raysT = rays.T
+    t_max = tmax_ref[...]
+    t_max_col = t_max.T
+    rt = rays.shape[1]
+    invx, invy, invz = _tile_inv_dir(rays)
+
+    mint_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
+
+    def cond(carry):
+        i, sp, alive = carry
+        return (i >= 0) & alive
+
+    def body(carry):
+        i, sp, _ = carry
+        boxes = wbox_ref[i]
+        t_far = jnp.where(mint_ref[...] < MISS_T, t_min - 1.0, t_max)
+        ov = _children_slab(boxes, rays, invx, invy, invz, t_min, t_far)
+        bits = _overlap_bits(ov)
+
+        for k in range(ARITY):
+            code = wchild_ref[ARITY * i + k]
+            live = (((bits >> k) & 1) > 0) & (code <= -2)
+
+            @pl.when(live)
+            def _():
+                chunk = -2 - code
+                pltpu.make_async_copy(
+                    w_hbm.at[chunk], wslots.at[k], sems.at[k]
+                ).start()
+
+        push = jnp.int32(0)
+        for k in range(ARITY):
+            code = wchild_ref[ARITY * i + k]
+            hit_live = (((bits >> k) & 1) > 0)
+            leaf_live = hit_live & (code <= -2)
+            int_live = hit_live & (code >= 0)
+
+            @pl.when(leaf_live)
+            def _():
+                chunk = -2 - code
+                pltpu.make_async_copy(
+                    w_hbm.at[chunk], wslots.at[k], sems.at[k]
+                ).wait()
+                anchor = (
+                    wanchor_ref[0, chunk],
+                    wanchor_ref[1, chunk],
+                    wanchor_ref[2, chunk],
+                )
+                tm = _pair_hits_t(
+                    raysT, wslots[k], tc, t_min, t_max_col, anchor
+                )
+                mint_ref[...] = jnp.minimum(
+                    mint_ref[...], jnp.min(tm, axis=1, keepdims=True).T
+                )
+
+            @pl.when(int_live)
+            def _():
+                stack_ref[sp + push] = code
+
+            push = push + jnp.where(int_live, 1, 0)
+
+        sp = sp + push
+        has = sp > 0
+        top = stack_ref[jnp.maximum(sp - 1, 0)]
+        alive = jnp.any(mint_ref[...] >= MISS_T)
+        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0), alive
+
+    jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.bool_(True))
+    )
+    hit_ref[...] = (mint_ref[...] < MISS_T).astype(jnp.int32)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("ray_tile", "t_min", "precision", "interpret",
-                     "return_slots"),
+                     "return_slots", "leaf_math"),
 )
 def intersect_closest_stream(
     bvh: WideBVH,
@@ -938,13 +1117,23 @@ def intersect_closest_stream(
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
     return_slots: bool = False,
+    leaf_math: str = "mxu",
 ):
-    """Closest-hit wide-BVH traversal with HBM-resident leaf data."""
+    """Closest-hit wide-BVH traversal with HBM-resident leaf data.
+
+    ``leaf_math="vpu"`` (needs ``leaf_size % 128 == 0``): exact-f32
+    transposed broadcast pair test instead of the MXU contraction."""
     tc = bvh.leaf_size
     assert bvh.w.dtype == jnp.float32, "stream kernels need a schedule='f32' pack"
     rays, n_tiles, r = _pack_rays(origins, directions, ray_tile)
 
-    kernel = functools.partial(_closest_stream_kernel, tc, t_min, precision)
+    if leaf_math == "vpu":
+        assert tc % 128 == 0, "VPU leaf math needs leaf_size % 128 == 0"
+        kernel = functools.partial(_closest_stream_kernel_t, tc, t_min)
+    else:
+        kernel = functools.partial(
+            _closest_stream_kernel, tc, t_min, precision
+        )
     best_t, best_slot = pl.pallas_call(
         kernel,
         grid=(n_tiles,),
@@ -982,7 +1171,9 @@ def intersect_closest_stream(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("ray_tile", "t_min", "precision", "interpret")
+    jax.jit,
+    static_argnames=("ray_tile", "t_min", "precision", "interpret",
+                     "leaf_math"),
 )
 def intersect_any_stream(
     bvh: WideBVH,
@@ -993,6 +1184,7 @@ def intersect_any_stream(
     ray_tile: int = RAY_TILE,
     precision=jax.lax.Precision.HIGHEST,
     interpret: bool = False,
+    leaf_math: str = "mxu",
 ):
     """Any-hit wide-BVH traversal with HBM-resident leaf data."""
     tc = bvh.leaf_size
@@ -1003,11 +1195,21 @@ def intersect_any_stream(
     )
     t_max = jnp.pad(t_max, (0, n_tiles * ray_tile - r))[None, :]
 
-    kernel = functools.partial(_any_stream_kernel, tc, t_min, precision)
-    blocked = pl.pallas_call(
-        kernel,
-        grid=(n_tiles,),
-        in_specs=[
+    if leaf_math == "vpu":
+        assert tc % 128 == 0, "VPU leaf math needs leaf_size % 128 == 0"
+        kernel = functools.partial(_any_stream_kernel_t, tc, t_min)
+        in_specs = [
+            _rays_spec(ray_tile),
+            _row_spec(ray_tile),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            _smem_spec(),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            _smem_spec(),  # wanchor
+        ]
+        operands = (rays, t_max, bvh.wbox, bvh.wchild, bvh.w, bvh.wanchor)
+    else:
+        kernel = functools.partial(_any_stream_kernel, tc, t_min, precision)
+        in_specs = [
             _rays_spec(ray_tile),
             _row_spec(ray_tile),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -1015,7 +1217,14 @@ def intersect_any_stream(
             _smem_spec(),
             pl.BlockSpec(memory_space=pltpu.ANY),
             _smem_spec(),  # wanchor
-        ],
+        ]
+        operands = (
+            rays, t_max, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w, bvh.wanchor
+        )
+    blocked = pl.pallas_call(
+        kernel,
+        grid=(n_tiles,),
+        in_specs=in_specs,
         out_specs=_row_spec(ray_tile),
         out_shape=jax.ShapeDtypeStruct((1, n_tiles * ray_tile), jnp.int32),
         scratch_shapes=[
@@ -1025,7 +1234,7 @@ def intersect_any_stream(
             pltpu.SemaphoreType.DMA((ARITY,)),
         ],
         interpret=interpret,
-    )(rays, t_max, bvh.wbox, bvh.wchild, bvh.waxis, bvh.w, bvh.wanchor)
+    )(*operands)
     return blocked[0, :r] > 0
 
 

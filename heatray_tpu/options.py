@@ -112,6 +112,15 @@ class RenderOptions:
     # automatically past the VMEM budget): bigger leaves amortize the
     # per-leaf DMA (128 tris = 6 KB per transfer).
     stream_leaf_size: int = 128
+    # Rays per grid step for the HBM-streaming kernels: smaller tiles than
+    # the VMEM backend win here because each avoided leaf visit also avoids
+    # a DMA (tpu_stream_probe.py: rt=256 beats 512 by ~8% over the real
+    # per-depth wavefronts of the 300k-tri bench scene).
+    stream_ray_tile: int = 256
+    # Leaf pair-test math for the streaming kernels: "mxu" (K=4 bf16x3
+    # contraction) or "vpu" (transposed exact-f32 broadcast ops; needs
+    # stream_leaf_size % 128 == 0).
+    stream_leaf_math: str = "mxu"
     # Reorder the bounce wavefront each depth by (direction octant, origin
     # Morton): traversal tiles stay coherent and dead lanes cluster into
     # tiles that exit at the root (the wavefront-compaction analog).
@@ -127,6 +136,27 @@ class RenderOptions:
     # seconds), or "auto" (multisort: per-pass speed wins for sustained
     # renders; the persistent compilation cache amortizes the compile).
     sort_impl: str = "auto"
+    # Segment-gate the sorted bounce wavefront: the per-bounce sort puts
+    # active lanes in a contiguous prefix (inactive keys sort last), so the
+    # bounce body (traversal + row gather + shade + occlusion) runs on
+    # fixed row segments of the wavefront, each under a lax.cond that
+    # skips segments holding no fresh active lane.  Per-bounce cost becomes
+    # proportional to the LIVE fraction instead of the full width — exact,
+    # because skipped lanes are inactive and their carry passes through
+    # unchanged (measured: the 300k-tri bench scene is 21% live at depth 2
+    # and ~0% at 3-4, yet paid full-width shade every depth).  "auto" = on
+    # whenever the bounce sort is on (gating requires the sorted prefix).
+    gate_bounces: bool | str = "auto"
+    # Number of wavefront segments for gating (granularity of the skip:
+    # cost quantizes to ceil(live / (R/segments)) segments).
+    gate_segments: int = 8
+    # Multiscatter energy-compensation term: "fit" (gather-free Chebyshev
+    # surface of the directional albedo, accurate to within the reference
+    # LUT's own 4096-sample MC noise — saves 2 per-lane LUT gathers per
+    # bounce, ~7.5 ms each at 2M lanes) or "lut" (the corner-packed
+    # bilinear table, bit-matching the reference's MultiScatterUtil
+    # pipeline).
+    ms_impl: str = "fit"
     # Rematerialize each bounce in the backward pass (jax.checkpoint): the
     # QMC draws and shade intermediates are cheap to recompute and their
     # per-depth residuals otherwise OOM a 16 GB chip at 1080p.

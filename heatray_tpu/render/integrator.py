@@ -470,7 +470,7 @@ def _make_wide_intersectors(
     ``closest`` returns (t, slot_id, hit): SLOT ids, matching the
     slot-ordered shade table (see ``_slot_order_table``) — facingness and
     geometry attributes come from the one fat row-gather downstream."""
-    rt = options.wide_ray_tile
+    rt = options.stream_ray_tile if stream else options.wide_ray_tile
     prec = (
         "bf16x3"
         if options.wide_precision == "bf16x3"
@@ -479,6 +479,7 @@ def _make_wide_intersectors(
     kw = {"precision": prec}
     if stream:
         closest_k, any_k = intersect_closest_stream, intersect_any_stream
+        kw["leaf_math"] = options.stream_leaf_math
     elif options.wide_leaf_math == "vpu":
         closest_k, any_k = intersect_closest_vpu, intersect_any_vpu
         kw = {}  # VPU math is exact f32; no schedule knob
@@ -912,6 +913,179 @@ def render_pass(
         else (lambda x: x)
     )
 
+    # Segment gating (see RenderOptions.gate_bounces): only meaningful when
+    # the sort has packed active lanes into a prefix.
+    if options.gate_bounces == "auto":
+        gate_on = sort_on
+    else:
+        gate_on = bool(options.gate_bounces) and sort_on
+    gate_on = gate_on and options.gate_segments > 1 and shape2[0] > 1
+
+    def bounce_core(planes, depth, fresh_mask):
+        """One bounce over a (rows, lane) wavefront slab: traversal, row
+        gather, shade, NEE occlusion, carry update.  ``fresh_mask`` (same
+        shape, or None) marks lanes whose work should COUNT — lanes outside
+        it still compute (their outputs are discarded by the gated merge),
+        matching the overlap rows of the clamped last segment."""
+        (org, direction, weight, env_on_miss, active, contrib, path_len,
+         seq_id, seq_off, pix) = planes
+
+        # Stage names surface in xprof traces (--trace / jax.profiler),
+        # the per-stage breakdown SURVEY section 5 asks for.
+        with jax.named_scope("traverse_closest"):
+            t, tid, hit = closest_fn(org, direction, eps)
+            # Traversal outputs are detached discrete values (~20 MB/bounce
+            # at 1080p); naming them lets the remat policy SAVE them so the
+            # backward sweep's recompute skips the traversal kernels —
+            # by far the most expensive ops in the pass (~75% of it).
+            t, tid, hit = _name(t), _name(tid), _name(hit)
+        hit = hit & active
+
+        # Miss: environment (only for rays whose default primitive is the
+        # env light — camera + glass-refraction rays).
+        miss_env = active & (~hit) & env_on_miss & (scene.lights.env_enabled > 0)
+        env_c = env_radiance(scene.lights, direction) * weight
+        contrib = contrib + Vec3.where(miss_env, clamp(env_c), 0.0)
+
+        # ONE fat row gather per bounce fetches everything shading needs
+        # (see shade_table.py); differentiable hit attributes re-evaluate
+        # from the gathered Woop rows; sanitize t for dead lanes so no
+        # NaN/Inf flows through the masked math.  Facingness comes from the
+        # gathered geometric normal (approaching against it = front) — the
+        # kernels return bare (t, id, hit) so no extra per-ray gathers run
+        # inside the traversal stage.
+        rows = gather_rows(shade_table, jnp.maximum(tid, 0))
+        front = direction.dot(rows.vec(GEO_N)) < 0.0
+        t_d, b1, b2 = hit_attributes_rows(rows, org, direction, hit)
+        t_sane = jnp.where(hit, t_d, 1.0)
+        path_len = path_len + jnp.where(hit, t_sane, 0.0)
+
+        with jax.named_scope("shade"):
+            res = shade_hits(
+                scene,
+                ctx.ms_lut,
+                ctx.tables,
+                sample_index,
+                depth,
+                org,
+                direction,
+                weight,
+                env_on_miss,
+                seq_id,
+                seq_off,
+                rows,
+                t_sane,
+                b1,
+                b2,
+                front,
+                hit,
+                max_ray_depth=options.max_ray_depth,
+                rr_start_depth=options.rr_start_depth,
+                sample_mode=options.sample_mode,
+                footprint_world=(pixel_cone * path_len) if use_cone else None,
+                ms_impl=options.ms_impl,
+            )
+        contrib = contrib + clamp(res.emission)
+
+        p = org + direction * t_sane
+        geo_n = rows.vec(GEO_N)
+
+        # NEE shadow rays (occlusion query with per-ray maxT).
+        s_org, s_dir = _park_dead(
+            _offset_origin(p, geo_n, res.shadow_dir, eps),
+            res.shadow_dir,
+            res.shadow_active,
+        )
+        with jax.named_scope("traverse_occlusion"):
+            blocked = _name(
+                any_fn(s_org, s_dir, eps, res.shadow_max_t - 2.0 * eps)
+            )
+        lit = res.shadow_active & (~blocked)
+        contrib = contrib + Vec3.where(
+            lit, clamp(res.shadow_weight * res.shadow_radiance), 0.0
+        )
+
+        # Ray accounting: this bounce's closest-hit lanes + shadow lanes
+        # (gated segments exclude the re-processed overlap rows).
+        if fresh_mask is None:
+            inc = jnp.sum(active.astype(jnp.int32)) + jnp.sum(
+                res.shadow_active.astype(jnp.int32)
+            )
+        else:
+            inc = jnp.sum((active & fresh_mask).astype(jnp.int32)) + jnp.sum(
+                (res.shadow_active & fresh_mask).astype(jnp.int32)
+            )
+
+        # Extension rays (dead lanes parked out of every AABB).
+        e_org, e_dir = _park_dead(
+            _offset_origin(p, geo_n, res.ext_dir, eps),
+            res.ext_dir,
+            res.ext_active,
+        )
+        new_planes = (
+            e_org,
+            e_dir,
+            res.ext_weight,
+            res.ext_env_on_miss,
+            res.ext_active,
+            contrib,
+            path_len,
+            seq_id,
+            seq_off,
+            pix,
+        )
+        return new_planes, inc
+
+    def gated_bounce(planes, ray_count, depth):
+        """Run ``bounce_core`` per row segment of the sorted wavefront,
+        skipping (lax.cond) segments with no fresh active lane.  Active
+        lanes are a contiguous prefix after the sort (inactive keys sort
+        last), so segment s holds live work iff its first fresh lane index
+        is < the active count.  The last segment's start is clamped to keep
+        shapes static; its already-processed overlap rows are masked out of
+        the merge, so every lane is processed exactly once."""
+        rows_n, ln = shape2
+        segs = options.gate_segments
+        seg_rows = -(-rows_n // segs)
+        n_act = jnp.sum(planes[4].astype(jnp.int32))
+
+        def seg_step(state, s):
+            fresh_row = s * seg_rows
+            start = jnp.minimum(fresh_row, rows_n - seg_rows)
+            run = (fresh_row < rows_n) & (fresh_row * ln < n_act)
+
+            def do(state):
+                planes, ray_count = state
+                seg = jax.tree.map(
+                    lambda p: jax.lax.dynamic_slice_in_dim(
+                        p, start, seg_rows, axis=0
+                    ),
+                    planes,
+                )
+                g_row = start + jax.lax.broadcasted_iota(
+                    jnp.int32, (seg_rows, ln), 0
+                )
+                fresh = g_row >= fresh_row
+                out, inc = bounce_core(seg, depth, fresh)
+                merged = jax.tree.map(
+                    lambda o, n: jnp.where(fresh, n, o), seg, out
+                )
+                planes = jax.tree.map(
+                    lambda p, m: jax.lax.dynamic_update_slice_in_dim(
+                        p, m, start, axis=0
+                    ),
+                    planes,
+                    merged,
+                )
+                return planes, ray_count + inc
+
+            return jax.lax.cond(run, do, lambda st: st, state), None
+
+        (planes, ray_count), _ = jax.lax.scan(
+            seg_step, (planes, ray_count), jnp.arange(segs)
+        )
+        return planes, ray_count
+
     def bounce(carry, depth, do_sort=False):
         (org, direction, weight, env_on_miss, active, contrib, path_len,
          seq_id, seq_off, pix, ray_count) = carry
@@ -1001,107 +1175,14 @@ def render_pass(
                     for o in (env_on_miss, active, seq_id, seq_off, pix)
                 )
 
-        # Stage names surface in xprof traces (--trace / jax.profiler),
-        # the per-stage breakdown SURVEY section 5 asks for.
-        with jax.named_scope("traverse_closest"):
-            t, tid, hit = closest_fn(org, direction, eps)
-            # Traversal outputs are detached discrete values (~20 MB/bounce
-            # at 1080p); naming them lets the remat policy SAVE them so the
-            # backward sweep's recompute skips the traversal kernels —
-            # by far the most expensive ops in the pass (~75% of it).
-            t, tid, hit = _name(t), _name(tid), _name(hit)
-        hit = hit & active
-
-        # Miss: environment (only for rays whose default primitive is the
-        # env light — camera + glass-refraction rays).
-        miss_env = active & (~hit) & env_on_miss & (scene.lights.env_enabled > 0)
-        env_c = env_radiance(scene.lights, direction) * weight
-        contrib = contrib + Vec3.where(miss_env, clamp(env_c), 0.0)
-
-        # ONE fat row gather per bounce fetches everything shading needs
-        # (see shade_table.py); differentiable hit attributes re-evaluate
-        # from the gathered Woop rows; sanitize t for dead lanes so no
-        # NaN/Inf flows through the masked math.  Facingness comes from the
-        # gathered geometric normal (approaching against it = front) — the
-        # kernels return bare (t, id, hit) so no extra per-ray gathers run
-        # inside the traversal stage.
-        rows = gather_rows(shade_table, jnp.maximum(tid, 0))
-        front = direction.dot(rows.vec(GEO_N)) < 0.0
-        t_d, b1, b2 = hit_attributes_rows(rows, org, direction, hit)
-        t_sane = jnp.where(hit, t_d, 1.0)
-        path_len = path_len + jnp.where(hit, t_sane, 0.0)
-
-        with jax.named_scope("shade"):
-            res = shade_hits(
-                scene,
-                ctx.ms_lut,
-                ctx.tables,
-                sample_index,
-                depth,
-                org,
-                direction,
-                weight,
-                env_on_miss,
-                seq_id,
-                seq_off,
-                rows,
-                t_sane,
-                b1,
-                b2,
-                front,
-                hit,
-                max_ray_depth=options.max_ray_depth,
-                rr_start_depth=options.rr_start_depth,
-                sample_mode=options.sample_mode,
-                footprint_world=(pixel_cone * path_len) if use_cone else None,
-            )
-        contrib = contrib + clamp(res.emission)
-
-        p = org + direction * t_sane
-        geo_n = rows.vec(GEO_N)
-
-        # NEE shadow rays (occlusion query with per-ray maxT).
-        s_org, s_dir = _park_dead(
-            _offset_origin(p, geo_n, res.shadow_dir, eps),
-            res.shadow_dir,
-            res.shadow_active,
-        )
-        with jax.named_scope("traverse_occlusion"):
-            blocked = _name(
-                any_fn(s_org, s_dir, eps, res.shadow_max_t - 2.0 * eps)
-            )
-        lit = res.shadow_active & (~blocked)
-        contrib = contrib + Vec3.where(
-            lit, clamp(res.shadow_weight * res.shadow_radiance), 0.0
-        )
-
-        # Ray accounting: this bounce's closest-hit lanes + shadow lanes.
-        ray_count = (
-            ray_count
-            + jnp.sum(active.astype(jnp.int32))
-            + jnp.sum(res.shadow_active.astype(jnp.int32))
-        )
-
-        # Extension rays (dead lanes parked out of every AABB).
-        e_org, e_dir = _park_dead(
-            _offset_origin(p, geo_n, res.ext_dir, eps),
-            res.ext_dir,
-            res.ext_active,
-        )
-        new_carry = (
-            e_org,
-            e_dir,
-            res.ext_weight,
-            res.ext_env_on_miss,
-            res.ext_active,
-            contrib,
-            path_len,
-            seq_id,
-            seq_off,
-            pix,
-            ray_count,
-        )
-        return new_carry, None
+        planes = (org, direction, weight, env_on_miss, active, contrib,
+                  path_len, seq_id, seq_off, pix)
+        if do_sort and gate_on:
+            planes, ray_count = gated_bounce(planes, ray_count, depth)
+        else:
+            planes, inc = bounce_core(planes, depth, None)
+            ray_count = ray_count + inc
+        return planes + (ray_count,), None
 
     pix0 = jnp.arange(r, dtype=jnp.int32).reshape(shape2)
     init = (
@@ -1143,14 +1224,18 @@ def render_pass(
 
     with jax.named_scope("accumulate"):
         if sort_on:
-            # Undo the wavefront permutations: scatter lane contributions
-            # back to their pixels (``pix`` is a permutation, so this is
-            # exact — no collisions).
-            flat_pix = pix.reshape(-1)
-            unperm = lambda c: (
-                jnp.zeros((r,), c.dtype).at[flat_pix].set(c.reshape(-1))
+            # Undo the wavefront permutations: sorting (pix, contrib) by
+            # pix IS the inverse permutation (pix is a permutation of
+            # 0..R-1, so no collisions), and the multi-operand sort moves
+            # all three planes at once — 4.6 ms vs 33 ms for three
+            # .at[pix].set scatters (tpu_misc_probe.py).
+            sorted_c = _sort_f32_planes(
+                pix.reshape(-1),
+                contrib.x.reshape(-1),
+                contrib.y.reshape(-1),
+                contrib.z.reshape(-1),
             )
-            contrib = contrib.map(unperm)
+            contrib = Vec3(*sorted_c)
         update = _accum_update(contrib, h, w, alpha=alpha)
     if with_stats:
         return accum + update, {"rays": ray_count}

@@ -105,6 +105,70 @@ def multiscatter_lut_packed() -> jnp.ndarray:
     return jnp.asarray(_packed_lut_np())
 
 
+FIT_DEGREE = 16
+
+
+@functools.lru_cache(maxsize=1)
+def _fit_coeffs_np() -> np.ndarray:
+    """(D+1, D+1) Chebyshev-product coefficients of the directional albedo
+    E(roughness, NdotV) = 1 / (1 + LUT), least-squares fit over the LUT
+    grid weighted by dval/dE = 1/E^2 so the fit equalizes error in VAL
+    space.  E is smooth (range ~[0.31, 1]) where the raw (1-E)/E surface
+    has a flat-zero region meeting a steep ridge, so fitting E and mapping
+    back converges ~4x faster in max error.  Row index = roughness degree,
+    column = NdotV degree."""
+    from numpy.polynomial import chebyshev as cheb
+
+    lut = generate_multiscatter_lut().astype(np.float64)
+    e = 1.0 / (1.0 + np.maximum(lut, 0.0))
+    grid = (np.arange(LUT_SIZE, dtype=np.float64) + 0.5) / LUT_SIZE
+    xs = 2.0 * grid - 1.0
+    tv = cheb.chebvander(xs, FIT_DEGREE)  # (L, D+1)
+    a = np.einsum("ri,cj->rcij", tv, tv).reshape(LUT_SIZE * LUT_SIZE, -1)
+    w = (1.0 / e**2).reshape(-1)
+    coef, *_ = np.linalg.lstsq(a * w[:, None], e.reshape(-1) * w, rcond=None)
+    return coef.reshape(FIT_DEGREE + 1, FIT_DEGREE + 1).astype(np.float32)
+
+
+def multiscatter_fit_coeffs() -> jnp.ndarray:
+    """((D+1), (D+1)) device coefficients for ``compute_multiscattering``'s
+    gather-free path (see RenderOptions.ms_impl)."""
+    return jnp.asarray(_fit_coeffs_np())
+
+
+def _cheb_planes(x, degree):
+    """T_0..T_degree of ``x`` (any shape) by the three-term recurrence."""
+    t = [jnp.ones_like(x), x]
+    for _ in range(degree - 1):
+        t.append(2.0 * x * t[-1] - t[-2])
+    return t
+
+
+def compute_multiscattering_fit(c_spec, n_dot_i, roughness):
+    """Gather-free multiscatter factor: evaluate the Chebyshev surface of E
+    and map back through (1 - E) / E.  Pure VPU math — the packed-LUT row
+    gather costs ~7.5 ms per call at 2M lanes on v5e (two calls per
+    bounce), while the ~300 fused FMAs here are effectively free.  The
+    coefficients embed as compile-time constants (host-cached numpy).  Fit
+    error vs the LUT is within the LUT's own 4096-sample MC noise
+    (tests/test_multiscatter.py)."""
+    cs = _fit_coeffs_np()
+    d = cs.shape[0] - 1
+    x = jnp.clip(2.0 * n_dot_i - 1.0, -1.0, 1.0)
+    y = jnp.clip(2.0 * roughness - 1.0, -1.0, 1.0)
+    tx = _cheb_planes(x, d)
+    ty = _cheb_planes(y, d)
+    e = jnp.zeros_like(x)
+    for i in range(d + 1):
+        inner = jnp.zeros_like(x)
+        for j in range(d + 1):
+            inner = inner + float(cs[i, j]) * tx[j]
+        e = e + ty[i] * inner
+    e = jnp.clip(e, 1e-3, 1.0)
+    val = (1.0 - e) / e
+    return 1.0 + c_spec * val
+
+
 def compute_multiscattering(packed_lut: jnp.ndarray, c_spec, n_dot_i, roughness):
     """``f_ms = 1 + Cspec * LUT(NdotI, roughness)``
     (``microfacet.rlsl:17-23``); ``packed_lut`` from

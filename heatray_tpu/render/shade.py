@@ -43,7 +43,10 @@ from . import brdf, shade_table as st
 from .bsdf_sampling import cosine_weighted_sample, refract, sample_visible_ggx
 from .envmap import env_radiance
 from .light_sampling import compute_light_sample
-from .multiscatter import compute_multiscattering
+from .multiscatter import (
+    compute_multiscattering,
+    compute_multiscattering_fit,
+)
 from .onb import (
     frame_to_world,
     greater_than_zero,
@@ -105,6 +108,7 @@ def shade_hits(
     rr_start_depth: int = 3,
     sample_mode: str = "sobol",
     footprint_world=None,
+    ms_impl: str = "lut",
 ) -> ShadeResult:
     """Shade one wavefront of surface hits (masked by ``active``).
 
@@ -278,7 +282,10 @@ def shade_hits(
     env_sel = ls.light_type == LIGHT_TYPE_ENVIRONMENT
 
     a_sp, rough_sp, cs_sp, lobep_sp = spec_lobe_params(sel_c)
-    ms = compute_multiscattering(ms_lut, cs_sp, n_dot_v, rough_sp)
+    if ms_impl == "fit":
+        ms = compute_multiscattering_fit(cs_sp, n_dot_v, rough_sp)
+    else:
+        ms = compute_multiscattering(ms_lut, cs_sp, n_dot_v, rough_sp)
 
     # Punctual branch: evaluate BRDF toward the chosen light.
     l_dir = ls.direction
@@ -354,7 +361,10 @@ def shade_hits(
 
     isel_d, isel_c, isel_s = select_lobe(rnd_u[4])
     a_isp, rough_isp, cs_isp, lobep_isp = spec_lobe_params(isel_c)
-    ms_i = compute_multiscattering(ms_lut, cs_isp, n_dot_v, rough_isp)
+    if ms_impl == "fit":
+        ms_i = compute_multiscattering_fit(cs_isp, n_dot_v, rough_isp)
+    else:
+        ms_i = compute_multiscattering(ms_lut, cs_isp, n_dot_v, rough_isp)
 
     io_diff = frame_to_world(*cosine_weighted_sample(rnd_u[3], rnd_v[3]), fx, n, fz)
     ih = frame_to_world(

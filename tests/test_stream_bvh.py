@@ -65,3 +65,40 @@ def test_backend_auto_selects_stream_past_vmem_budget():
     else:
         assert small == "wide"
         assert big == "stream"
+
+
+def test_closest_stream_vpu_matches_xla():
+    positions, indices = make_soup(700, seed=19)
+    accel = build_woop(planar(positions), planar(indices))
+    bvh = build_wide_bvh(accel, leaf_size=128, schedule="f32")
+    orig, dirs = make_rays(512, seed=23)
+    org, d = v3(planar(orig).T), v3(planar(dirs).T)
+
+    t_ref, id_ref, _, hit_ref = intersect_closest(accel, org, d)
+    t_s, id_s, hit_s = intersect_closest_stream(
+        bvh, org, d, ray_tile=256, interpret=True, leaf_math="vpu"
+    )
+    np.testing.assert_array_equal(np.asarray(hit_ref), np.asarray(hit_s))
+    m = np.asarray(hit_ref)
+    np.testing.assert_allclose(
+        np.asarray(t_ref)[m], np.asarray(t_s)[m], rtol=1e-5, atol=1e-5
+    )
+    same = np.asarray(id_ref)[m] == np.asarray(id_s)[m]
+    assert same.mean() > 0.999
+
+
+def test_any_stream_vpu_matches_xla():
+    positions, indices = make_soup(700, seed=29)
+    accel = build_woop(planar(positions), planar(indices))
+    bvh = build_wide_bvh(accel, leaf_size=128, schedule="f32")
+    orig, dirs = make_rays(512, seed=31)
+    org, d = v3(planar(orig).T), v3(planar(dirs).T)
+
+    blocked_ref = intersect_any(accel, org, d, t_max=5.0)
+    blocked_s = intersect_any_stream(
+        bvh, org, d, t_max=5.0, ray_tile=256, interpret=True,
+        leaf_math="vpu",
+    )
+    np.testing.assert_array_equal(
+        np.asarray(blocked_ref), np.asarray(blocked_s)
+    )
