@@ -295,10 +295,21 @@ def _tile_axis_signs(rays):
 
 
 def _closest_kernel(
-    tc, t_min, precision, fused,
+    tc, t_min, precision, fused, batch,
     rays_ref, wbox_ref, wchild_ref, waxis_ref, w_ref, wanchor_ref,
-    t_ref, id_ref, stack_ref, best_ref, bid_ref,
+    t_ref, id_ref, stack_ref, lq_ref, best_ref, bid_ref,
 ):
+    """Closest-hit tile traversal with a leaf QUEUE and BATCHED drains.
+
+    r5 latency finding (tpu_kernel_variants_probe.py): one pair test is a
+    chain of ~15 dependent vector ops whose LATENCY dominates at (Tc, Rt)
+    shapes — a visit costs ~0.65 us against ~0.2 us of pure issue
+    throughput.  Live leaf chunks are therefore queued in SMEM during the
+    node walk and drained ``batch`` at a time as INDEPENDENT pair tests
+    merged by a min-tree, letting the compiler interleave the chains
+    (measured 1.6-2.3x on sorted bounce wavefronts, bit-identical
+    results — a batch prunes against the batch-start bound, which cannot
+    change the final min)."""
     rays = rays_ref[...]  # (8, Rt)
     rt = rays.shape[1]
     invx, invy, invz = _tile_inv_dir(rays)
@@ -307,6 +318,7 @@ def _closest_kernel(
     # Direction split for the fused schedule: anchor-independent, built
     # once per tile (the origin side is split per leaf visit).
     d12 = _split3(rays[4:8, :]) if fused else None
+    B = batch
 
     def pair(chunk, bound):
         anchor = (
@@ -322,6 +334,29 @@ def _closest_kernel(
             rays, w_ref[chunk], tc, t_min, bound, precision, anchor
         )
 
+    def drain_batch(qs):
+        bt = best_ref[...]
+        tms = [pair(q, bt) for q in qs]  # B independent op chains
+        cand = []
+        for q, tm in zip(qs, tms):
+            cm = jnp.min(tm, axis=0, keepdims=True)  # (1, Rt)
+            tri = jnp.min(
+                jnp.where(tm <= cm, sub_ids, jnp.int32(2**30)),
+                axis=0,
+                keepdims=True,
+            )
+            cand.append((cm, q * tc + tri))
+        while len(cand) > 1:  # pairwise min-merge tree
+            (c1, i1), (c2, i2) = cand[0], cand[1]
+            take2 = c2 < c1
+            cand = cand[2:] + [
+                (jnp.minimum(c1, c2), jnp.where(take2, i2, i1))
+            ]
+        cm, slot = cand[0]
+        improved = cm < bt
+        bid_ref[...] = jnp.where(improved, slot, bid_ref[...])
+        best_ref[...] = jnp.where(improved, cm, bt)
+
     best_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
     bid_ref[...] = jnp.full((1, rt), -1, jnp.int32)
 
@@ -329,7 +364,7 @@ def _closest_kernel(
         return carry[0] >= 0
 
     def body(carry):
-        i, sp = carry
+        i, sp, nl = carry
         boxes = wbox_ref[i]  # (8, 8)
         best_t = best_ref[...]
         ov = _children_slab(boxes, rays, invx, invy, invz, t_min, best_t)
@@ -337,30 +372,24 @@ def _closest_kernel(
         axis = waxis_ref[i]
         sign = jnp.where(axis == 0, sx, jnp.where(axis == 1, sy, sz))
 
-        # Pass 1 (near -> far): leaf children.  Processing near leaves first
-        # shrinks best_t before far leaves are tested, so their slab windows
-        # (baked into _pair_hits' t bound) self-prune.
+        # Pass 1 (near -> far): queue live leaf children.  Branchless
+        # conditional store: a dead child writes to the slot the next live
+        # child (or nothing) overwrites.
         for k in range(ARITY):
             c = jnp.where(sign, k, ARITY - 1 - k)
             code = wchild_ref[ARITY * i + c]
             live = (((bits >> c) & 1) > 0) & (code <= -2)
+            lq_ref[nl] = jnp.where(live, -2 - code, lq_ref[nl])
+            nl = nl + jnp.where(live, 1, 0)
 
-            @pl.when(live)
-            def _():
-                chunk = -2 - code
-                bt = best_ref[...]
-                tm = pair(chunk, bt)
-                col_min = jnp.min(tm, axis=0, keepdims=True)  # (1, Rt)
-                tri = jnp.min(
-                    jnp.where(tm <= col_min, sub_ids, jnp.int32(2**30)),
-                    axis=0,
-                    keepdims=True,
-                )
-                improved = col_min < bt
-                bid_ref[...] = jnp.where(
-                    improved, chunk * tc + tri, bid_ref[...]
-                )
-                best_ref[...] = jnp.where(improved, col_min, bt)
+        def drain_cond(n):
+            return n >= B
+
+        def drain_body(n):
+            drain_batch([lq_ref[n - B + j] for j in range(B)])
+            return n - B
+
+        nl = jax.lax.while_loop(drain_cond, drain_body, nl)
 
         # Pass 2 (far -> near): push internal children; LIFO pops near-first.
         push = jnp.int32(0)
@@ -368,19 +397,23 @@ def _closest_kernel(
             c = jnp.where(sign, ARITY - 1 - k, k)
             code = wchild_ref[ARITY * i + c]
             live = (((bits >> c) & 1) > 0) & (code >= 0)
-
-            @pl.when(live)
-            def _():
-                stack_ref[sp + push] = code
-
+            stack_ref[sp + push] = jnp.where(live, code, stack_ref[sp + push])
             push = push + jnp.where(live, 1, 0)
 
         sp = sp + push
         has = sp > 0
         top = stack_ref[jnp.maximum(sp - 1, 0)]
-        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0)
+        return jnp.where(has, top, -1), jnp.maximum(sp - 1, 0), nl
 
-    jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.int32(0)))
+    _, _, nl = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), jnp.int32(0), jnp.int32(0))
+    )
+
+    # Leftover partial batch (pad by repeating entry 0: idempotent for min).
+    @pl.when(nl > 0)
+    def _():
+        drain_batch([lq_ref[jnp.where(j < nl, j, 0)] for j in range(B)])
+
     t_ref[...] = best_ref[...]
     id_ref[...] = bid_ref[...]
 

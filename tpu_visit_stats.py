@@ -37,8 +37,10 @@ from heatray_tpu.ops.intersect_pallas import (
     MISS_T,
     _pack_rays,
     _pair_hits,
+    _pair_hits_fused,
     _rays_spec,
     _row_spec,
+    _split3,
     _tile_inv_dir,
 )
 from heatray_tpu.ops.wide_bvh import (
@@ -74,6 +76,7 @@ def _stats_kernel(
     rt = rays.shape[1]
     invx, invy, invz = _tile_inv_dir(rays)
     sx, sy, sz = _tile_axis_signs(rays)
+    d12 = _split3(rays[4:8, :])  # fused-schedule direction split
 
     best_ref[...] = jnp.full((1, rt), MISS_T, jnp.float32)
     if seed_k:
@@ -119,8 +122,8 @@ def _stats_kernel(
                     wanchor_ref[1, chunk],
                     wanchor_ref[2, chunk],
                 )
-                tm = _pair_hits(
-                    rays, w_ref[chunk], tc, t_min, bt, "bf16x3", anchor
+                tm = _pair_hits_fused(
+                    rays, d12, w_ref[chunk], tc, t_min, bt, anchor
                 )
                 col_min = jnp.min(tm, axis=0, keepdims=True)
                 best_ref[...] = jnp.minimum(col_min, bt)
